@@ -1,0 +1,241 @@
+"""Batched constraint evaluation.
+
+TPU-native counterpart of the reference's constraint framework
+(safe_control_gym/envs/constraints.py).  The reference evaluates a Python list
+of constraint objects one by one per step; here the YAML spec list is
+*compiled once* into stacked matrices and flag vectors, and evaluation is a
+single fused affine op over (state, input) — shape-static, vmap-friendly, and
+differentiable (so controllers get the "symbolic" constraint form for free).
+
+Semantics preserved from the reference:
+  * every constraint is g(x) <= 0 (constraints.py:21-33);
+  * ``active_dims`` becomes a selection filter folded into the stacked A
+    (constraints.py:69-80);
+  * values are rounded to 8 decimals before the violation test
+    (constraints.py:106-119);
+  * ``strict`` rows violate at >= 0, others at > 0 (constraints.py:121-141);
+  * ``is_almost_active`` uses per-row tolerances (constraints.py:143-158);
+  * constraint order and concatenation match ConstraintList.get_values
+    (constraints.py:503-520).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from safe_control_gym_tpu.envs.benchmark import EnvSpaces
+
+BIG = 1e30  # Stand-in for the reference's float32 max bounds.
+
+
+@dataclasses.dataclass(frozen=True)
+class _Quadratic:
+    """One x^T P x <= b row (reference QuadraticContstraint, constraints.py:179-223)."""
+
+    P: np.ndarray  # (d, d), filter already applied: full-dim P' = F^T P F
+    b: float
+    on_input: bool  # False: acts on state; True: acts on input.
+
+
+@dataclasses.dataclass(frozen=True)
+class CompiledConstraints:
+    """Stacked constraint program.
+
+    Rows are ordered exactly like the reference's ConstraintList: one block per
+    spec entry, in YAML order.  Linear/bounded/default rows live in (A_x, A_u,
+    b); quadratic entries are kept separately and interleaved back by
+    ``row_order``.
+    """
+
+    num_constraints: int
+    A_x: np.ndarray  # (nc_lin, nx)
+    A_u: np.ndarray  # (nc_lin, nu)
+    b: np.ndarray  # (nc_lin,)
+    quadratics: Sequence[_Quadratic]
+    row_order: np.ndarray  # (nc,) permutation: output row -> position in [lin rows..., quad rows...]
+    strict: np.ndarray  # (nc,) bool
+    tolerance: np.ndarray  # (nc,) float; -inf disables almost-active for that row
+    state_only_rows: np.ndarray  # (nc,) bool: rows from STATE-type constraints
+    input_rows: np.ndarray  # (nc,) bool: rows from INPUT-type constraints
+    rounding: int = 8
+
+    def get_values(self, x, u):
+        """Evaluate all constraints. x: (..., nx), u: (..., nu) -> (..., nc)."""
+        dtype = x.dtype
+        vals = [x @ self.A_x.T.astype(dtype) + u @ self.A_u.T.astype(dtype) - self.b.astype(dtype)]
+        for q in self.quadratics:
+            v = u if q.on_input else x
+            P = jnp.asarray(q.P, dtype)
+            vals.append(((v @ P) * v).sum(-1, keepdims=True) - jnp.asarray(q.b, dtype))
+        stacked = jnp.concatenate(vals, axis=-1)
+        ordered = stacked[..., self.row_order]
+        # Reference rounds to 8 decimals (constraints.py:119).
+        scale = 10.0 ** self.rounding
+        return jnp.round(ordered * scale) / scale
+
+    def is_violated(self, values):
+        """Any row violated (reference ConstraintList.is_violated, :541-563)."""
+        strict = jnp.asarray(self.strict)
+        hit = jnp.where(strict, values >= 0.0, values > 0.0)
+        return jnp.any(hit, axis=-1)
+
+    def is_almost_active(self, values):
+        """Any row within tolerance of violation (reference :565-583)."""
+        tol = jnp.asarray(self.tolerance, values.dtype)
+        return jnp.any(values + tol > 0.0, axis=-1)
+
+    def get_state_values(self, x):
+        """State-only constraint values for reset info (benchmark_env.py:376-383).
+
+        Returns the state-constraint rows in list order.
+        """
+        u = jnp.zeros((*x.shape[:-1], self.A_u.shape[1]), x.dtype)
+        vals = self.get_values(x, u)
+        idx = np.nonzero(self.state_only_rows)[0]
+        return vals[..., idx]
+
+
+def _filter_matrix(dim: int, active_dims) -> np.ndarray:
+    if active_dims is None:
+        return np.eye(dim)
+    if isinstance(active_dims, int):
+        active_dims = [active_dims]
+    return np.eye(dim)[np.asarray(active_dims)]
+
+
+def build_constraints(
+    specs: Optional[Sequence[dict]], spaces: EnvSpaces
+) -> Optional[CompiledConstraints]:
+    """Compile YAML constraint specs (reference create_constraint_list,
+    constraints.py:594-612) into a ``CompiledConstraints`` program."""
+    if not specs:
+        return None
+    nx, nu = spaces.state_dim, spaces.action_dim
+    lin_Ax, lin_Au, lin_b = [], [], []
+    lin_meta = []  # (strict, tol_or_None, var_type) per linear row-block
+    quads: list[_Quadratic] = []
+    quad_meta = []
+    order_tags = []  # ('lin', n_rows) / ('quad', 1) in spec order
+
+    for spec in specs:
+        spec = dict(spec)
+        form = spec.pop("constraint_form")
+        var = spec.pop("constrained_variable")
+        strict = bool(spec.pop("strict", False))
+        active_dims = spec.pop("active_dims", None)
+        tolerance = spec.pop("tolerance", None)
+        if var == "state":
+            dim = nx
+        elif var == "input":
+            dim = nu
+        elif var == "input_and_state":
+            dim = nx + nu
+        else:
+            raise ValueError(f"invalid constrained_variable {var!r}")
+        F = _filter_matrix(dim, active_dims)
+
+        def _split(A_full):
+            """Split full-dim rows into state and input blocks."""
+            rows = A_full.shape[0]
+            if var == "state":
+                return A_full, np.zeros((rows, nu))
+            if var == "input":
+                return np.zeros((rows, nx)), A_full
+            return A_full[:, :nx], A_full[:, nx:]
+
+        if form == "linear_constraint":
+            A = np.array(spec["A"], ndmin=2, dtype=float)
+            b = np.array(spec["b"], ndmin=1, dtype=float)
+            A_full = A @ F
+            Ax, Au = _split(A_full)
+            lin_Ax.append(Ax)
+            lin_Au.append(Au)
+            lin_b.append(b)
+            lin_meta.append((strict, tolerance, var, A.shape[0]))
+            order_tags.append(("lin", A.shape[0]))
+        elif form in ("bounded_constraint", "default_constraint"):
+            if form == "default_constraint":
+                # Bounds default to the env spaces (constraints.py:307-368).
+                if var == "state":
+                    lo_def, hi_def = spaces.state_low, spaces.state_high
+                elif var == "input":
+                    lo_def, hi_def = spaces.action_low, spaces.action_high
+                else:
+                    raise ValueError("default_constraint must be state or input")
+                lo = np.asarray(spec.get("lower_bounds", lo_def), dtype=float)
+                hi = np.asarray(spec.get("upper_bounds", hi_def), dtype=float)
+                # Clamp the reference's float32-max sentinels to a finite BIG
+                # so the affine evaluation stays NaN-free.
+                lo = np.maximum(lo, -BIG)
+                hi = np.minimum(hi, BIG)
+            else:
+                lo = np.array(spec["lower_bounds"], ndmin=1, dtype=float)
+                hi = np.array(spec["upper_bounds"], ndmin=1, dtype=float)
+            d = lo.shape[0]
+            A = np.vstack([-np.eye(d), np.eye(d)])  # (2d, d)
+            b = np.hstack([-lo, hi])
+            A_full = A @ F
+            Ax, Au = _split(A_full)
+            lin_Ax.append(Ax)
+            lin_Au.append(Au)
+            lin_b.append(b)
+            lin_meta.append((strict, tolerance, var, 2 * d))
+            order_tags.append(("lin", 2 * d))
+        elif form == "quadratic_constraint":
+            P = np.array(spec["P"], ndmin=2, dtype=float)
+            P_full = F.T @ P @ F
+            quads.append(
+                _Quadratic(P=P_full, b=float(spec["b"]), on_input=(var == "input"))
+            )
+            quad_meta.append((strict, tolerance, var, 1))
+            order_tags.append(("quad", 1))
+        else:
+            raise ValueError(f"unknown constraint_form {form!r}")
+
+    nc_lin = sum(n for _, _, _, n in lin_meta)
+    A_x = np.vstack(lin_Ax) if lin_Ax else np.zeros((0, nx))
+    A_u = np.vstack(lin_Au) if lin_Au else np.zeros((0, nu))
+    b = np.hstack(lin_b) if lin_b else np.zeros((0,))
+
+    # Rebuild output-row order = spec order (lin rows first in the stacked
+    # value vector, quad rows appended after).
+    row_order, strict_v, tol_v, state_v, input_v = [], [], [], [], []
+    lin_cursor, quad_cursor = 0, nc_lin
+    lin_i, quad_i = 0, 0
+    for kind, n in order_tags:
+        if kind == "lin":
+            strict_f, tol, var, _ = lin_meta[lin_i]
+            lin_i += 1
+            rows = list(range(lin_cursor, lin_cursor + n))
+            lin_cursor += n
+        else:
+            strict_f, tol, var, _ = quad_meta[quad_i]
+            quad_i += 1
+            rows = [quad_cursor]
+            quad_cursor += 1
+        row_order.extend(rows)
+        strict_v.extend([strict_f] * n)
+        if tol is None:
+            tol_v.extend([-np.inf] * n)
+        else:
+            tol_arr = np.array(tol, ndmin=1, dtype=float)
+            tol_v.extend((tol_arr if tol_arr.size == n else np.full(n, tol_arr[0])).tolist())
+        state_v.extend([var == "state"] * n)
+        input_v.extend([var == "input"] * n)
+
+    return CompiledConstraints(
+        num_constraints=len(row_order),
+        A_x=A_x,
+        A_u=A_u,
+        b=b,
+        quadratics=tuple(quads),
+        row_order=np.asarray(row_order, dtype=np.int32),
+        strict=np.asarray(strict_v, dtype=bool),
+        tolerance=np.asarray(tol_v, dtype=float),
+        state_only_rows=np.asarray(state_v, dtype=bool),
+        input_rows=np.asarray(input_v, dtype=bool),
+    )

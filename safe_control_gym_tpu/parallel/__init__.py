@@ -1,0 +1,22 @@
+"""Device-mesh parallelism.
+
+TPU-native replacement for the reference's process-based env parallelism
+(safe_control_gym/envs/env_wrappers/vectorized_env/): instead of B env
+instances sharded over worker processes connected by pipes
+(subproc_vec_env.py:17-263), the env batch is a sharded global PyTree on a
+``jax.sharding.Mesh``; stepping is one jitted SPMD program; global episode
+statistics ride ICI collectives (psum) instead of pickled pipe messages.
+"""
+
+from safe_control_gym_tpu.parallel.vector import VecEnv, make_vec_env
+from safe_control_gym_tpu.parallel.rollout import rollout, RolloutCarry
+from safe_control_gym_tpu.parallel.mesh import make_mesh, shard_batch
+
+__all__ = [
+    "VecEnv",
+    "make_vec_env",
+    "rollout",
+    "RolloutCarry",
+    "make_mesh",
+    "shard_batch",
+]

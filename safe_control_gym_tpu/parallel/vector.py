@@ -1,0 +1,84 @@
+"""Vectorized env: vmap + masked auto-reset.
+
+Replaces the reference's ``DummyVecEnv``/``SubprocVecEnv``
+(env_wrappers/vectorized_env/dummy_vec_env.py, subproc_vec_env.py) with a
+single jitted batched step.  Auto-reset semantics mirror the reference
+workers (dummy_vec_env.py:40-47, subproc_vec_env.py:199-207): when an env
+reports done, the returned ``obs`` is the *fresh reset* observation and the
+terminal observation is surfaced in ``info['terminal_observation']``.
+
+Per-env PRNG keys make resets bitwise-reproducible regardless of batch size
+or device layout: env i's reset key is ``fold_in(run_key, episode_counter)``
+derived purely from its own state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _where_tree(mask, a, b):
+    """Select leaves of ``a`` where mask else ``b``; mask is (B,)."""
+
+    def sel(x, y):
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - 1))
+        return jnp.where(m, x, y)
+
+    return jax.tree.map(sel, a, b)
+
+
+@dataclasses.dataclass(frozen=True)
+class VecEnv:
+    """Batched functional env.
+
+    reset: (key) -> (state, obs, info); state/obs leaves have leading (B,).
+    step:  (state, actions) -> (state, obs, rew, done, info) with auto-reset.
+    step_no_reset: same but without auto-reset (for eval loops that handle
+        episode boundaries on the host, like the reference's ``run()``).
+    """
+
+    reset: Callable
+    step: Callable
+    step_no_reset: Callable
+    num_envs: int
+    env: Any  # underlying FnEnv
+
+
+def make_vec_env(env, num_envs: int, auto_reset: bool = True) -> VecEnv:
+    reset1 = env.reset
+    step1 = env.step
+    vreset = jax.vmap(reset1)
+    vstep = jax.vmap(step1)
+
+    def reset(key):
+        # Seed-offset-per-rank factory semantics (vectorized_env/__init__.py:9-38)
+        # realized as per-env key splits.
+        keys = jax.random.split(key, num_envs)
+        return vreset(keys)
+
+    def step_no_reset(state, actions):
+        return vstep(state, actions)
+
+    def step(state, actions):
+        new_state, obs, rew, done, info = vstep(state, actions)
+        # Fresh episodes for done envs, derived from each env's own key —
+        # independent of batch layout.
+        reset_keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(new_state.key)
+        r_state, r_obs, _ = vreset(reset_keys)
+        out_state = _where_tree(done, r_state, new_state)
+        info = dict(info)
+        info["terminal_observation"] = obs
+        out_obs = _where_tree(done, r_obs, obs)
+        return out_state, out_obs, rew, done, info
+
+    return VecEnv(
+        reset=reset,
+        step=step if auto_reset else step_no_reset,
+        step_no_reset=step_no_reset,
+        num_envs=num_envs,
+        env=env,
+    )
