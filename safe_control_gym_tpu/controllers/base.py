@@ -1,0 +1,98 @@
+"""Controller protocol.
+
+TPU-native counterpart of the reference's BaseController
+(safe_control_gym/controllers/base_controller.py:6-90): learn() / run() /
+select_action / save() / load() / reset().  Controllers here are built from a
+``FnEnv`` and hold a functional ``state`` PyTree; `select_action` is pure and
+jittable so whole eval rollouts fuse into one scan.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from safe_control_gym_tpu.parallel import make_vec_env
+from safe_control_gym_tpu.parallel.rollout import EpisodeStats, RolloutCarry, rollout
+
+
+class BaseController:
+    """Stateful host-side shell around pure JAX functions."""
+
+    def __init__(self, env, output_dir: str = ".", seed: int = 0, **kwargs):
+        self.env = env
+        self.output_dir = output_dir
+        self.seed = seed
+        self.key = jax.random.key(seed)
+        self.state: Any = None  # controller's functional state PyTree
+
+    # -- reference API (base_controller.py:18-90) ---------------------------
+    def reset(self):
+        pass
+
+    def close(self):
+        pass
+
+    def learn(self, **kwargs):
+        """Train loop; model-based controllers are no-ops."""
+
+    def select_action(self, obs, info=None):
+        raise NotImplementedError
+
+    def save(self, path):
+        with open(path, "wb") as f:
+            pickle.dump(jax.device_get(self.state), f)
+
+    def load(self, path):
+        with open(path, "rb") as f:
+            self.state = pickle.load(f)
+
+    # -- shared eval loop (mirrors e.g. mpc.py:366-466 / lqr.py:204-346) ----
+    def run(self, num_episodes: int = 1, max_steps: int | None = None, seed: int = 0):
+        """Batched evaluation: num_episodes environments in parallel, one
+        scan.  Returns a results dict with per-step obs/action/reward stacks
+        and episode statistics (the reference's results_dict shape)."""
+        env = self.env
+        B = num_episodes
+        vec = make_vec_env(env, B, auto_reset=False)
+        state, obs, _ = jax.jit(vec.reset)(jax.random.key(seed))
+        T = max_steps or env.max_episode_steps
+
+        select = jax.vmap(lambda o: self._policy(o))
+
+        def body(carry, _):
+            s, o, done_mask = carry
+            a = select(o)
+            s2, o2, r, d, info = vec.step_no_reset(s, a)
+            # Freeze finished episodes (no auto-reset during eval).
+            s = jax.tree.map(
+                lambda new, old: jnp.where(
+                    done_mask.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
+                ),
+                s2,
+                s,
+            )
+            o = jnp.where(done_mask[:, None], o, o2)
+            r = jnp.where(done_mask, 0.0, r)
+            out = {"obs": o, "action": a, "reward": r, "done": d, "mse": info["mse"]}
+            return (s, o, done_mask | d), out
+
+        (state, obs, done), traj = jax.lax.scan(body, (state, obs, jnp.zeros(B, bool)), None, length=T)
+        traj = jax.device_get(traj)
+        return {
+            "obs": traj["obs"],
+            "action": traj["action"],
+            "reward": traj["reward"],
+            "done": traj["done"],
+            "mse": traj["mse"],
+            "ep_returns": traj["reward"].sum(0),
+            "ep_lengths": (~traj["done"]).sum(0) + 1,
+        }
+
+    def _policy(self, obs):
+        """Pure single-obs policy used by run(); subclasses override."""
+        raise NotImplementedError

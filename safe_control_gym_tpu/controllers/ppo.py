@@ -1,0 +1,325 @@
+"""PPO (clipped surrogate) — fully-jitted, sharded-ready.
+
+TPU-native counterpart of the reference's PPO
+(safe_control_gym/controllers/ppo/ppo.py + ppo_utils.py).  Semantics kept:
+
+  * rollout over a vectorized env batch with obs/reward normalizers
+    (ppo.py:247-276);
+  * time-truncation bootstrap: at TimeLimit-truncated steps the critic value
+    of the terminal observation is folded into the reward as
+    ``rew += gamma * terminal_v`` (ppo.py:259-273, ppo_utils.py:441-443);
+  * returns/advantages via reversed GAE scan with done masks
+    (ppo_utils.py:428-456), global advantage standardization (ppo.py:290);
+  * clipped surrogate + entropy, approximate-KL-gated actor updates
+    (skip actor minibatch when approx_kl > 1.5 * target_kl,
+    ppo_utils.py:128-161), optional clipped value loss (ppo_utils.py:112-126);
+  * Gaussian policy: MLP mean + state-independent logstd initialized at -0.5
+    (ppo_utils.py:186-187).
+
+Where the reference steps pipes to worker processes and torch on one device,
+here the whole ``train_step`` — rollout scan, GAE, opt_epochs x minibatch
+SGD — is ONE jitted program; under a device mesh the env batch shards over
+``env`` and gradients psum over ICI (see __graft_entry__.dryrun_multichip).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from safe_control_gym_tpu.controllers.base import BaseController
+from safe_control_gym_tpu.models.distributions import Normal
+from safe_control_gym_tpu.models.networks import MLP
+from safe_control_gym_tpu.models.normalization import MeanStdNormalizer, RewardStdNormalizer
+from safe_control_gym_tpu.parallel import make_vec_env
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Defaults mirror the reference's ppo.yaml."""
+
+    hidden_dim: int = 64
+    activation: str = "tanh"
+    norm_obs: bool = False
+    norm_reward: bool = False
+    clip_obs: float = 10.0
+    clip_reward: float = 10.0
+    gamma: float = 0.99
+    use_gae: bool = False
+    gae_lambda: float = 0.95
+    use_clipped_value: bool = False
+    clip_param: float = 0.2
+    target_kl: float = 0.01
+    entropy_coef: float = 0.01
+    opt_epochs: int = 10
+    mini_batch_size: int = 64
+    actor_lr: float = 3e-4
+    critic_lr: float = 1e-3
+    max_grad_norm: float = 0.5
+    max_env_steps: int = 1_000_000
+    rollout_batch_size: int = 4
+    rollout_steps: int = 100
+
+
+class ActorCritic(struct.PyTreeNode):
+    actor_params: Any
+    critic_params: Any
+    logstd: jnp.ndarray
+
+
+class PPOState(struct.PyTreeNode):
+    ac: ActorCritic
+    actor_opt: Any
+    critic_opt: Any
+    obs_norm: MeanStdNormalizer
+    rew_norm: RewardStdNormalizer
+    env_state: Any
+    obs: jnp.ndarray
+    key: jnp.ndarray
+    total_steps: jnp.ndarray
+
+
+class PPO(BaseController):
+    """Host shell; all compute lives in the jitted ``self._train_step``."""
+
+    def __init__(self, env, seed: int = 0, output_dir: str = ".", **kwargs):
+        super().__init__(env, output_dir=output_dir, seed=seed)
+        known = {f.name for f in dataclasses.fields(PPOConfig)}
+        self.cfg = PPOConfig(**{k: v for k, v in kwargs.items() if k in known})
+        cfg = self.cfg
+        self.vec = make_vec_env(env, cfg.rollout_batch_size)
+        obs_dim = env.spaces.obs_dim
+        act_dim = env.spaces.action_dim
+        self.actor = MLP(act_dim, (cfg.hidden_dim, cfg.hidden_dim), act=cfg.activation, out_gain=0.01)
+        self.critic = MLP(1, (cfg.hidden_dim, cfg.hidden_dim), act=cfg.activation)
+        self.actor_tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.actor_lr)
+        )
+        self.critic_tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.critic_lr)
+        )
+        key = jax.random.key(seed)
+        k1, k2, k3, self._carry_key = jax.random.split(key, 4)
+        dummy = jnp.zeros((1, obs_dim))
+        ac = ActorCritic(
+            actor_params=self.actor.init(k1, dummy),
+            critic_params=self.critic.init(k2, dummy),
+            logstd=-0.5 * jnp.ones((act_dim,)),
+        )
+        env_state, obs, _ = jax.jit(self.vec.reset)(k3)
+        self.state = PPOState(
+            ac=ac,
+            actor_opt=self.actor_tx.init(ac.actor_params),
+            critic_opt=self.critic_tx.init(ac.critic_params),
+            obs_norm=MeanStdNormalizer.create((obs_dim,), clip=cfg.clip_obs),
+            rew_norm=RewardStdNormalizer.create(
+                cfg.rollout_batch_size, gamma=cfg.gamma, clip=cfg.clip_reward
+            ),
+            env_state=env_state,
+            obs=obs,
+            key=self._carry_key,
+            total_steps=jnp.zeros((), jnp.int32),
+        )
+        self._train_step = jax.jit(self._make_train_step())
+
+    # -- pure functions -------------------------------------------------------
+    def _dist(self, ac: ActorCritic, obs):
+        mean = self.actor.apply(ac.actor_params, obs)
+        return Normal(mean, jnp.exp(ac.logstd))
+
+    def _value(self, ac: ActorCritic, obs):
+        return self.critic.apply(ac.critic_params, obs)[..., 0]
+
+    def _make_train_step(self):
+        cfg = self.cfg
+        B, T = cfg.rollout_batch_size, cfg.rollout_steps
+        vec = self.vec
+
+        def collect(state: PPOState):
+            def body(carry, _):
+                st = carry
+                key, k_act = jax.random.split(st.key)
+                dist = self._dist(st.ac, st.obs)
+                act = dist.sample(k_act)
+                logp = dist.log_prob(act)
+                v = self._value(st.ac, st.obs)
+                env_state, next_obs, rew, done, info = vec.step(st.env_state, act)
+                next_obs_n, obs_norm = (
+                    st.obs_norm(next_obs) if cfg.norm_obs else (next_obs, st.obs_norm)
+                )
+                rew_n, rew_norm = (
+                    st.rew_norm(rew, done) if cfg.norm_reward else (rew, st.rew_norm)
+                )
+                # Truncation bootstrap (ppo.py:259-273).
+                truncated = info["TimeLimit.truncated"]
+                term_obs = info["terminal_observation"]
+                terminal_v = jnp.where(truncated, self._value(st.ac, term_obs), 0.0)
+                out = {
+                    "obs": st.obs,
+                    "act": act,
+                    "rew": rew_n,
+                    "mask": 1.0 - done.astype(rew_n.dtype),
+                    "v": v,
+                    "logp": logp,
+                    "terminal_v": terminal_v,
+                }
+                st = st.replace(
+                    env_state=env_state,
+                    obs=next_obs_n,
+                    obs_norm=obs_norm,
+                    rew_norm=rew_norm,
+                    key=key,
+                )
+                return st, out
+
+            state, roll = jax.lax.scan(body, state, None, length=T)
+            return state, roll
+
+        def gae(roll, last_val):
+            """Reversed scan (ppo_utils.py:428-456)."""
+            rews = roll["rew"] + cfg.gamma * roll["terminal_v"]
+            vals = jnp.concatenate([roll["v"], last_val[None]], 0)
+
+            def body(carry, xs):
+                ret, adv = carry
+                rew, mask, v, v_next = xs
+                ret = rew + cfg.gamma * mask * ret
+                if cfg.use_gae:
+                    td = rew + cfg.gamma * mask * v_next - v
+                    adv = adv * cfg.gae_lambda * cfg.gamma * mask + td
+                else:
+                    adv = ret - v
+                return (ret, adv), (ret, adv)
+
+            (_, _), (rets, advs) = jax.lax.scan(
+                body,
+                (last_val, jnp.zeros_like(last_val)),
+                (rews, roll["mask"], roll["v"], vals[1:]),
+                reverse=True,
+            )
+            return rets, advs
+
+        def update(state: PPOState, batch_all):
+            N = B * T
+            n_mini = max(N // cfg.mini_batch_size, 1)
+            flat = jax.tree.map(lambda x: x.reshape((N,) + x.shape[2:]), batch_all)
+
+            def minibatch_step(carry, idx):
+                ac, aopt, copt = carry
+                mb = jax.tree.map(lambda x: x[idx], flat)
+
+                def actor_loss_fn(ap, logstd):
+                    dist = self._dist(ac.replace(actor_params=ap, logstd=logstd), mb["obs"])
+                    logp = dist.log_prob(mb["act"])
+                    ratio = jnp.exp(logp - mb["logp"])
+                    clip_adv = (
+                        jnp.clip(ratio, 1 - cfg.clip_param, 1 + cfg.clip_param) * mb["adv"]
+                    )
+                    policy_loss = -jnp.minimum(ratio * mb["adv"], clip_adv).mean()
+                    entropy_loss = -dist.entropy().mean()
+                    approx_kl = (mb["logp"] - logp).mean()
+                    return policy_loss + cfg.entropy_coef * entropy_loss, (
+                        policy_loss,
+                        entropy_loss,
+                        approx_kl,
+                    )
+
+                (loss, (p_loss, e_loss, kl)), grads = jax.value_and_grad(
+                    actor_loss_fn, argnums=(0, 1), has_aux=True
+                )(ac.actor_params, ac.logstd)
+                # KL gate (ppo_utils.py:139-144): skip actor update when the
+                # approximate KL exceeds 1.5 * target_kl.
+                gate = (cfg.target_kl <= 0) | (kl <= 1.5 * cfg.target_kl)
+                g = jax.tree.map(lambda x: x * gate.astype(x.dtype), grads)
+                updates, aopt2 = self.actor_tx.update(g[0], aopt, ac.actor_params)
+                new_ap = optax.apply_updates(ac.actor_params, updates)
+                # The state-independent logstd is optimized with plain SGD at
+                # the actor learning rate (the reference puts it in the same
+                # Adam group; keeping it separate avoids re-threading the
+                # optax state through a mixed tree).
+                new_logstd = ac.logstd - cfg.actor_lr * g[1]
+
+                def critic_loss_fn(cp):
+                    v_cur = self.critic.apply(cp, mb["obs"])[..., 0]
+                    if cfg.use_clipped_value:
+                        v_old_c = mb["v"] + jnp.clip(
+                            v_cur - mb["v"], -cfg.clip_param, cfg.clip_param
+                        )
+                        v_loss = jnp.maximum(
+                            (v_cur - mb["ret"]) ** 2, (v_old_c - mb["ret"]) ** 2
+                        )
+                        return 0.5 * v_loss.mean()
+                    return 0.5 * ((v_cur - mb["ret"]) ** 2).mean()
+
+                v_loss, cgrads = jax.value_and_grad(critic_loss_fn)(ac.critic_params)
+                cupd, copt2 = self.critic_tx.update(cgrads, copt, ac.critic_params)
+                new_cp = optax.apply_updates(ac.critic_params, cupd)
+                ac2 = ac.replace(
+                    actor_params=new_ap, critic_params=new_cp, logstd=new_logstd
+                )
+                metrics = jnp.stack([p_loss, v_loss, e_loss, kl])
+                return (ac2, aopt2, copt2), metrics
+
+            def epoch_step(carry, key):
+                perm = jax.random.permutation(key, N)
+                idxs = perm[: n_mini * cfg.mini_batch_size].reshape(
+                    n_mini, cfg.mini_batch_size
+                )
+                carry, metrics = jax.lax.scan(minibatch_step, carry, idxs)
+                return carry, metrics.mean(0)
+
+            keys = jax.random.split(state.key, cfg.opt_epochs + 1)
+            (ac, aopt, copt), metrics = jax.lax.scan(
+                epoch_step, (state.ac, state.actor_opt, state.critic_opt), keys[1:]
+            )
+            state = state.replace(
+                ac=ac, actor_opt=aopt, critic_opt=copt, key=keys[0]
+            )
+            m = metrics.mean(0)
+            return state, {
+                "policy_loss": m[0],
+                "value_loss": m[1],
+                "entropy_loss": m[2],
+                "approx_kl": m[3],
+            }
+
+        def train_step(state: PPOState):
+            state, roll = collect(state)
+            last_val = self._value(state.ac, state.obs)
+            rets, advs = gae(roll, last_val)
+            advs = (advs - advs.mean()) / (advs.std() + 1e-6)
+            batch = {**roll, "ret": rets, "adv": advs}
+            state, metrics = update(state, batch)
+            state = state.replace(total_steps=state.total_steps + B * T)
+            return state, metrics
+
+        return train_step
+
+    # -- reference API --------------------------------------------------------
+    def learn(self, max_env_steps: Optional[int] = None, log_fn=None, **kwargs):
+        steps_target = max_env_steps or self.cfg.max_env_steps
+        per_iter = self.cfg.rollout_batch_size * self.cfg.rollout_steps
+        n_iters = max(steps_target // per_iter, 1)
+        metrics = {}
+        for i in range(n_iters):
+            self.state, metrics = self._train_step(self.state)
+            if log_fn is not None:
+                log_fn(int(jax.device_get(self.state.total_steps)), jax.device_get(metrics))
+        return jax.device_get(metrics)
+
+    def select_action(self, obs, info=None):
+        obs = jnp.asarray(obs)
+        if self.cfg.norm_obs:
+            obs, _ = self.state.obs_norm(obs, update=False)
+        return np.asarray(self._dist(self.state.ac, obs).mode())
+
+    def _policy(self, obs):
+        if self.cfg.norm_obs:
+            obs, _ = self.state.obs_norm(obs, update=False)
+        return self._dist(self.state.ac, obs).mode()
