@@ -63,8 +63,11 @@ class CompiledConstraints:
     input_rows: np.ndarray  # (nc,) bool: rows from INPUT-type constraints
     rounding: int = 8
 
-    def get_values(self, x, u):
-        """Evaluate all constraints. x: (..., nx), u: (..., nu) -> (..., nc)."""
+    def get_values_raw(self, x, u):
+        """Differentiable evaluation (no rounding) — used by controllers
+        (MPC/CBF) that need constraint *gradients*; jnp.round has zero
+        gradient, so the rounded path must never sit on a controller's
+        autodiff path."""
         dtype = x.dtype
         vals = [x @ self.A_x.T.astype(dtype) + u @ self.A_u.T.astype(dtype) - self.b.astype(dtype)]
         for q in self.quadratics:
@@ -72,8 +75,12 @@ class CompiledConstraints:
             P = jnp.asarray(q.P, dtype)
             vals.append(((v @ P) * v).sum(-1, keepdims=True) - jnp.asarray(q.b, dtype))
         stacked = jnp.concatenate(vals, axis=-1)
-        ordered = stacked[..., self.row_order]
-        # Reference rounds to 8 decimals (constraints.py:119).
+        return stacked[..., self.row_order]
+
+    def get_values(self, x, u):
+        """Evaluate all constraints. x: (..., nx), u: (..., nu) -> (..., nc).
+        Rounded to 8 decimals like the reference (constraints.py:119)."""
+        ordered = self.get_values_raw(x, u)
         scale = 10.0 ** self.rounding
         return jnp.round(ordered * scale) / scale
 
