@@ -31,7 +31,7 @@ _CONTROLLERS = {
     "ddpg": "safe_control_gym_tpu.controllers.ddpg:DDPG",
     "safe_explorer_ppo": "safe_control_gym_tpu.controllers.safe_explorer:SafeExplorerPPO",
     "rarl": "safe_control_gym_tpu.controllers.rarl:RARL",
-    "rap": "safe_control_gym_tpu.controllers.rap:RAP",
+    "rap": "safe_control_gym_tpu.controllers.rarl:RAP",
     "mellinger": "safe_control_gym_tpu.controllers.mellinger:MellingerController",
 }
 for _id, _ep in _CONTROLLERS.items():

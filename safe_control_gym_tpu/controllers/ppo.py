@@ -88,10 +88,14 @@ class PPOState(struct.PyTreeNode):
 class PPO(BaseController):
     """Host shell; all compute lives in the jitted ``self._train_step``."""
 
-    def __init__(self, env, seed: int = 0, output_dir: str = ".", **kwargs):
+    def __init__(self, env, seed: int = 0, output_dir: str = ".", action_filter_fn=None, **kwargs):
         super().__init__(env, output_dir=output_dir, seed=seed)
         known = {f.name for f in dataclasses.fields(PPOConfig)}
         self.cfg = PPOConfig(**{k: v for k, v in kwargs.items() if k in known})
+        # Optional pure hook (obs, act) -> act applied after sampling — the
+        # safety-layer projection point (reference SafePPO applies Dalal's
+        # layer inside the actor's act, safe_ppo_utils.py:15-130).
+        self.action_filter_fn = action_filter_fn
         cfg = self.cfg
         self.vec = make_vec_env(env, cfg.rollout_batch_size)
         obs_dim = env.spaces.obs_dim
@@ -147,6 +151,8 @@ class PPO(BaseController):
                 key, k_act = jax.random.split(st.key)
                 dist = self._dist(st.ac, st.obs)
                 act = dist.sample(k_act)
+                if self.action_filter_fn is not None:
+                    act = self.action_filter_fn(st.obs, act)
                 logp = dist.log_prob(act)
                 v = self._value(st.ac, st.obs)
                 env_state, next_obs, rew, done, info = vec.step(st.env_state, act)
