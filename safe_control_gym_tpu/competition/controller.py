@@ -1,0 +1,215 @@
+"""Competition controller template + default racing implementation.
+
+TPU-native counterpart of reference competition/edit_this.py (the user-facing
+Controller with __init__(initial_obs, initial_info) / cmdFirmware /
+cmdSimOnly / interStepLearn / interEpisodeLearn hooks) and
+ek_controller_impl.py (the Ekumen stack: plan through gates -> stage
+sequence: TakeOff -> race -> Land).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from safe_control_gym_tpu.competition.competition_utils import Command, timing_ep, timing_step
+from safe_control_gym_tpu.competition.mpcc_controller import MPCCController
+from safe_control_gym_tpu.competition.planning import (
+    CylinderObstacle,
+    Limits,
+    State,
+    plan_time_optimal_trajectory_through_gates,
+)
+from safe_control_gym_tpu.competition.stage_actions import (
+    StageActionFinished,
+    StageActionLand,
+    StageActionMPCC,
+    StageActionSpline,
+    StageActionTakeOff,
+    StageSequencer,
+)
+from safe_control_gym_tpu.competition.trajectory import retime_trajectory
+from safe_control_gym_tpu.controllers.pid import PIDState, pid_control
+from safe_control_gym_tpu.envs.quadrotor import KF
+
+
+class Controller:
+    """Default competition controller: time-optimal plan + staged flight.
+
+    Matches the reference template's interface (edit_this.py:55-138) so user
+    code written against the reference drops in.
+    """
+
+    def __init__(self, initial_obs, initial_info, use_firmware: bool = True,
+                 use_mpcc: bool = False, verbose: bool = False):
+        self.CTRL_FREQ = initial_info["ctrl_freq"]
+        self.CTRL_TIMESTEP = initial_info["ctrl_timestep"]
+        self.initial_obs = np.asarray(initial_obs)
+        self.verbose = verbose
+        self.use_firmware = use_firmware
+
+        gates = initial_info.get("nominal_gates_pos_and_type", [])
+        obstacles = initial_info.get("nominal_obstacles_pos", [])
+        goal = initial_info.get("x_reference", np.zeros(12))
+        gate_dims = initial_info.get("gate_dimensions", {})
+        heights = {0: gate_dims.get("tall", {}).get("height", 1.0),
+                   1: gate_dims.get("low", {}).get("height", 0.525)}
+
+        start = np.array([self.initial_obs[0], self.initial_obs[2], 1.0])
+        goal_pos = np.array([goal[0], goal[2], goal[4]]) if len(goal) >= 6 else start
+        gate_poses = [
+            (np.array([g[0], g[1], heights[int(g[6])]]), float(g[5])) for g in gates
+        ]
+        # Obstacles inflated by the drone radius + a tracking-error budget so
+        # the tracked flight (not just the plan) stays clear.
+        MARGIN = 0.20
+        obs_models = [
+            CylinderObstacle(np.array([o[0], o[1], 0.0]), 0.05 + MARGIN, 1.05 + 0.1)
+            for o in obstacles
+        ]
+        # Gate frame side posts as virtual obstacles so planned segments clear
+        # the frames of gates they merely pass near (the fly-through gate's
+        # aperture center is a graph waypoint, so its own posts are cleared
+        # by construction).
+        for (gp, gyaw) in gate_poses:
+            lateral = np.array([np.cos(gyaw), np.sin(gyaw), 0.0])
+            for side in (-0.3, 0.3):
+                post = gp + side * lateral
+                obs_models.append(
+                    CylinderObstacle(np.array([post[0], post[1], 0.0]), 0.05 + MARGIN, gp[2] + 0.25)
+                )
+        self.trajectory = None
+        if gate_poses:
+            # Plan through pre -> center -> post waypoints per gate, with the
+            # velocity cone aligned to the *signed gate normal* (fly-through
+            # direction chosen to continue the course): corners then sit
+            # ~0.3 m clear of the frames, so a tracking controller cutting
+            # corners stays inside the aperture.
+            waypoints = []
+            prev = start
+            for gp, gyaw in gate_poses:
+                normal = np.array([-np.sin(gyaw), np.cos(gyaw), 0.0])
+                if np.dot(gp - prev, normal) < 0:
+                    normal = -normal
+                dir_angle = float(np.arctan2(normal[1], normal[0]))
+                waypoints.append((gp - 0.3 * normal, dir_angle))
+                waypoints.append((gp, dir_angle))
+                waypoints.append((gp + 0.3 * normal, dir_angle))
+                prev = gp
+            self.trajectory = plan_time_optimal_trajectory_through_gates(
+                State(start, np.zeros(3)),
+                State(goal_pos, np.zeros(3)),
+                waypoints,
+                Limits(np.array([-4.0, -4.0, -3.0]), np.array([4.0, 4.0, 3.0])),
+                Limits(np.array([0.5, -0.3, -0.3]), np.array([2.0, 0.3, 0.3])),
+                obstacles=obs_models,
+                max_iterations=2,
+                num_cone_samples=2,
+            )
+        # Retime the bang-bang plan with a smooth TOPP-style speed profile
+        # (slow through apertures) — dynamically consistent to track.
+        self.flight_traj = None
+        if self.trajectory is not None:
+            self.flight_traj = retime_trajectory(
+                self.trajectory,
+                gate_centers=[gp for gp, _ in gate_poses],
+                v_max=1.6, v_gate=0.6, a_max=2.5,
+            )
+        stages = [StageActionTakeOff(self.CTRL_FREQ, height=1.0, duration=2.0)]
+        if self.flight_traj is not None:
+            if use_mpcc:
+                gate_thetas = []
+                ts, ps, _ = self.flight_traj.sample(300)
+                for gp, _ in gate_poses:
+                    d = np.linalg.norm(ps[:, :3] - gp, axis=-1)
+                    gate_thetas.append(ts[int(d.argmin())] - ts[0])
+                mpcc = MPCCController(
+                    self.flight_traj, self.CTRL_TIMESTEP, gate_thetas=gate_thetas
+                )
+                stages.append(StageActionMPCC(self.CTRL_FREQ, mpcc))
+            else:
+                stages.append(
+                    StageActionSpline(self.CTRL_FREQ, self.flight_traj, speed_scale=1.0)
+                )
+        stages += [StageActionLand(self.CTRL_FREQ), StageActionFinished()]
+        self.sequencer = StageSequencer(stages)
+
+        # cmdSimOnly support (software PID path, edit_this.py cmdSimOnly).
+        self._act_bounds = initial_info.get("physical_action_bounds")
+        self._gate_centers = [gp for gp, _ in gate_poses] if gate_poses else None
+        self._ref_t = self.trajectory.start_time if self.trajectory is not None else 0.0
+        self._pid_state = PIDState.create()
+        self.interstep_counter = 0
+        self.interepisode_counter = 0
+
+    # -- firmware command path (edit_this.py cmdFirmware) -----------------------
+    def cmdFirmware(self, time_s, obs, reward=None, done=None, info=None):
+        obs = np.asarray(obs)
+        pos = np.array([obs[0], obs[2], obs[4]])
+        vel = np.array([obs[1], obs[3], obs[5]])
+        rpy = obs[6:9]
+        pqr = obs[9:12]
+        it = int(round(time_s * self.CTRL_FREQ))
+        command, args = self.sequencer.run(it, pos, vel, rpy, pqr)
+        return command, args
+
+    # -- simulation-only path (PID, edit_this.py cmdSimOnly) --------------------
+    TAKEOFF_SEC = 2.0
+    SIM_SPEED_SCALE = 0.5  # base reference speed scale (PID tracking lag)
+    GATE_SLOW_SCALE = 0.15  # extra slowdown within GATE_SLOW_RADIUS of a gate
+    GATE_SLOW_RADIUS = 0.7
+
+    def cmdSimOnly(self, time_s, obs, reward=None, done=None, info=None):
+        import jax.numpy as jnp
+
+        obs = np.asarray(obs)
+        pos = jnp.asarray([obs[0], obs[2], obs[4]], jnp.float32)
+        vel = jnp.asarray([obs[1], obs[3], obs[5]], jnp.float32)
+        rpy = jnp.asarray(obs[6:9], jnp.float32)
+        if self.flight_traj is not None:
+            if time_s < self.TAKEOFF_SEC:
+                # Climb to the trajectory start before racing.
+                target = jnp.asarray(
+                    self.flight_traj.position(self.flight_traj.start_time)[:3],
+                    jnp.float32,
+                )
+            else:
+                t = min(time_s - self.TAKEOFF_SEC, self.flight_traj.end_time)
+                target = jnp.asarray(self.flight_traj.position(t)[:3], jnp.float32)
+                target_vel = jnp.asarray(self.flight_traj.velocity(t)[:3], jnp.float32)
+                rpm, self._pid_state, _, _ = pid_control(
+                    self._pid_state, self.CTRL_TIMESTEP, pos, rpy, vel, target,
+                    target_vel=target_vel,
+                )
+                return self._clip_forces(rpm)
+        else:
+            target = jnp.asarray([0.0, 0.0, 1.0])
+        rpm, self._pid_state, _, _ = pid_control(
+            self._pid_state, self.CTRL_TIMESTEP, pos, rpy, vel, target
+        )
+        return self._clip_forces(rpm)
+
+    def _clip_forces(self, rpm):
+        forces = np.asarray(rpm, np.float64) ** 2 * KF
+        if self._act_bounds is not None:
+            # Keep the raw command inside the physical input bounds so the
+            # f32 PID's rounding noise cannot trip the env's raw-input
+            # constraint check (the reference PID computes in f64 and lands
+            # exactly on the bound).
+            lo, hi = self._act_bounds
+            forces = np.clip(forces, lo, hi)
+        return forces
+
+    # -- learning hooks (edit_this.py interStepLearn/interEpisodeLearn) ---------
+    @timing_step
+    def interStepLearn(self, *args, **kwargs):
+        self.interstep_counter += 1
+
+    @timing_ep
+    def interEpisodeLearn(self, *args, **kwargs):
+        self.interepisode_counter += 1
+        self.sequencer.reset()
+        self._pid_state = PIDState.create()
+
+    def reset(self):
+        self.sequencer.reset()
+        self._pid_state = PIDState.create()

@@ -1,0 +1,141 @@
+"""Competition main loop.
+
+TPU-native counterpart of reference competition/getting_started.py:42-342:
+build the (optionally firmware-wrapped) quadrotor env from a level config,
+instantiate the user Controller, dispatch its commands each control step,
+accumulate reward/collision/gate stats, and print steps/sec.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from safe_control_gym_tpu.competition.competition_utils import Command, dispatch_command
+from safe_control_gym_tpu.competition.controller import Controller
+from safe_control_gym_tpu.controllers.firmware import FirmwareWrapper
+from safe_control_gym_tpu.envs.quadrotor import QuadrotorConfig, make_quadrotor
+
+
+def _env_config_from_level(level: dict, ctrl_freq: int, pyb_freq: int) -> QuadrotorConfig:
+    keys = {f.name for f in QuadrotorConfig.__dataclass_fields__.values()}
+    cfg = {k: v for k, v in level.items() if k in keys}
+    cfg.update(quad_type=3, ctrl_freq=ctrl_freq, pyb_freq=pyb_freq)
+    return QuadrotorConfig(**cfg)
+
+
+def _reset_info(env, obs, ctrl_freq=None):
+    """Reset-info dict with the fields user controllers consume
+    (quadrotor.py:1136-1202).  ``ctrl_freq`` is the *command-loop* rate the
+    controller runs at (25-30 Hz), not the wrapped env's firmware rate —
+    the reference rewrites it the same way (getting_started.py:69-83)."""
+    ctrl_freq = ctrl_freq or env.ctrl_freq
+    return {
+        "ctrl_timestep": 1.0 / ctrl_freq,
+        "ctrl_freq": ctrl_freq,
+        "episode_len_sec": env.episode_len_sec,
+        "nominal_gates_pos_and_type": list(env.config.gates or []),
+        "nominal_obstacles_pos": list(env.config.obstacles or []),
+        "x_reference": np.asarray(env.x_goal if env.x_goal.ndim == 1 else env.x_goal[-1]),
+        "u_reference": np.asarray(env.u_goal),
+        "gate_dimensions": {
+            "tall": {"shape": "square", "height": 1.0, "edge": 0.45},
+            "low": {"shape": "square", "height": 0.525, "edge": 0.45},
+        },
+        "obstacle_dimensions": {"shape": "cylinder", "height": 1.05, "radius": 0.05},
+        "physical_action_bounds": (
+            np.asarray(env.spaces.action_low),
+            np.asarray(env.spaces.action_high),
+        ),
+    }
+
+
+def run(
+    level_config: dict,
+    num_episodes: int = 1,
+    use_firmware: bool = True,
+    use_mpcc: bool = False,
+    firmware_freq: int = 500,
+    ctrl_freq: int = 25,
+    verbose: bool = False,
+    controller_cls=Controller,
+):
+    """Run competition episodes; returns per-episode stats
+    (reference getting_started.py run(), :42-342)."""
+    episodes = []
+    if use_firmware:
+        env_func = lambda: make_quadrotor(
+            _env_config_from_level(level_config, firmware_freq, firmware_freq)
+        )
+        wrapper = FirmwareWrapper(env_func, firmware_freq, ctrl_freq, verbose=verbose)
+        env = wrapper.env
+    else:
+        env = make_quadrotor(_env_config_from_level(level_config, ctrl_freq, ctrl_freq))
+        wrapper = None
+        step_fn = jax.jit(env.step)
+        reset_fn = jax.jit(env.reset)
+
+    episode_len = level_config.get("episode_len_sec", env.episode_len_sec)
+    for ep in range(num_episodes):
+        t_start = time.time()
+        if use_firmware:
+            obs, _ = wrapper.reset(seed=ep)
+        else:
+            env_state, obs, _ = reset_fn(jax.random.key(ep))
+            obs = np.asarray(obs)
+        info = _reset_info(env, obs, ctrl_freq)
+        ctrl = controller_cls(obs, info, use_firmware=use_firmware, use_mpcc=use_mpcc, verbose=verbose)
+
+        cum_reward = 0.0
+        collisions = 0
+        gates_passed = 0
+        # Idle motors spin at MIN_PWM (the firmware wrapper's PWM clip floor),
+        # so the initial action is the corresponding per-motor force — zeros
+        # would trip the level configs' default input constraint at step 1.
+        action = np.asarray(env.spaces.action_low, np.float64).copy()
+        steps = int(episode_len * ctrl_freq)
+        done = False
+        step_info = {}
+        for i in range(steps):
+            t = i / ctrl_freq
+            if use_firmware:
+                command, args = ctrl.cmdFirmware(t, obs)
+                dispatch_command(wrapper, command, args)
+                obs, reward, done, step_info, action = wrapper.step(t, action)
+                if command == Command.FINISHED:
+                    break
+            else:
+                action = ctrl.cmdSimOnly(t, obs)
+                env_state, obs_j, reward, done, step_info = step_fn(
+                    env_state, np.asarray(action)
+                )
+                obs = np.asarray(obs_j)
+                reward = float(reward)
+                done = bool(done)
+            cum_reward += float(reward)
+            if step_info:
+                collisions += int(np.asarray(step_info.get("collision", 0)))
+            ctrl.interStepLearn()
+            if done:
+                break
+        if step_info:
+            gid = int(np.asarray(step_info.get("current_target_gate_id", -1)))
+            n_gates = len(level_config.get("gates", []) or [])
+            gates_passed = n_gates if gid == -1 else gid
+        elapsed = time.time() - t_start
+        ctrl.interEpisodeLearn()
+        episodes.append(
+            {
+                "reward": cum_reward,
+                "collisions": collisions,
+                "gates_passed": gates_passed,
+                "steps": i + 1,
+                "steps_per_sec": (i + 1) / elapsed,
+                "sim_speedup": ((i + 1) / ctrl_freq) / elapsed,
+            }
+        )
+        if verbose:
+            print(f"episode {ep}: {episodes[-1]}")
+    return episodes

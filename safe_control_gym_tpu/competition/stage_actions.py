@@ -1,0 +1,191 @@
+"""Stage actions and sequencer for the competition flight plan.
+
+TPU-native counterpart of reference competition/stage_sequencer.py (:29-111)
+and the stage_action_*.py modules: each stage exposes ``reset()`` and
+``run(global_it, stage_it, pos, vel, rpy, pqr) -> (done, Command, args)``;
+the sequencer runs stages in order until each reports done.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from safe_control_gym_tpu.competition.competition_utils import Command
+
+
+class StageAction:
+    def reset(self):
+        pass
+
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+        raise NotImplementedError
+
+
+class StageActionTakeOff(StageAction):
+    """Reference stage_action_take_off.py: one TAKEOFF command, wait out the
+    duration."""
+
+    def __init__(self, ctrl_freq, height=1.0, duration=2.0):
+        self.ctrl_freq = ctrl_freq
+        self.height = height
+        self.duration = duration
+
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+        if stage_it == 0:
+            return False, Command.TAKEOFF, (self.height, self.duration)
+        done = stage_it >= self.duration * self.ctrl_freq
+        return done, Command.NONE, ()
+
+
+class StageActionLand(StageAction):
+    def __init__(self, ctrl_freq, height=0.05, duration=2.0):
+        self.ctrl_freq = ctrl_freq
+        self.height = height
+        self.duration = duration
+
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+        if stage_it == 0:
+            return False, Command.LAND, (self.height, self.duration)
+        done = stage_it >= self.duration * self.ctrl_freq
+        return done, Command.NONE, ()
+
+
+class StageActionGotoXY(StageAction):
+    def __init__(self, ctrl_freq, x, y, z=None, duration=3.0):
+        self.ctrl_freq = ctrl_freq
+        self.target = (x, y, z)
+        self.duration = duration
+
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+        if stage_it == 0:
+            x, y, z = self.target
+            z = pos[2] if z is None else z
+            return False, Command.GOTO, ([x, y, z], 0.0, self.duration, False)
+        done = stage_it >= self.duration * self.ctrl_freq
+        return done, Command.NONE, ()
+
+
+class StageActionSetPointStop(StageAction):
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+        return True, Command.NOTIFYSETPOINTSTOP, ()
+
+
+class StageActionHardBrake(StageAction):
+    """Full-state commands holding the current position (reference
+    stage_action_hard_brake.py)."""
+
+    def __init__(self, ctrl_freq, duration=0.5):
+        self.ctrl_freq = ctrl_freq
+        self.duration = duration
+        self.hold = None
+
+    def reset(self):
+        self.hold = None
+
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+        if self.hold is None:
+            self.hold = np.asarray(pos)
+        done = stage_it >= self.duration * self.ctrl_freq
+        args = (self.hold, np.zeros(3), np.zeros(3), 0.0, np.zeros(3), global_it / self.ctrl_freq)
+        return done, Command.FULLSTATE, args
+
+
+class StageActionSpline(StageAction):
+    """Track the planned trajectory with FULLSTATE commands (reference
+    stage_action_spline.py).  Progress integrates with a gate-adaptive
+    speed: crawl through apertures, race between them."""
+
+    def __init__(self, ctrl_freq, trajectory, speed_scale=1.0,
+                 gate_centers=None, gate_slow_scale=0.3, gate_slow_radius=0.7):
+        self.ctrl_freq = ctrl_freq
+        self.traj = trajectory
+        self.speed_scale = speed_scale
+        self.gate_centers = gate_centers or []
+        self.gate_slow_scale = gate_slow_scale
+        self.gate_slow_radius = gate_slow_radius
+        self.reset()
+
+    def reset(self):
+        self.ref_t = self.traj.start_time
+
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+        ref_p = self.traj.position(self.ref_t).reshape(-1)[:3]
+        scale = self.speed_scale
+        if self.gate_centers:
+            dmin = min(np.linalg.norm(ref_p - g) for g in self.gate_centers)
+            if dmin < self.gate_slow_radius:
+                scale = self.gate_slow_scale
+        self.ref_t = min(self.ref_t + scale / self.ctrl_freq, self.traj.end_time)
+        done = self.ref_t >= self.traj.end_time
+        p = self.traj.position(self.ref_t).reshape(-1)[:3]
+        v = self.traj.velocity(self.ref_t).reshape(-1)[:3] * scale
+        args = (p, v, np.zeros(3), 0.0, np.zeros(3), global_it / self.ctrl_freq)
+        return done, Command.FULLSTATE, args
+
+
+class StageActionMPCC(StageAction):
+    """Race along the planned path with MPCC, sending the optimizer's next
+    state as a FULLSTATE command (reference stage_action_mpcc.py)."""
+
+    def __init__(self, ctrl_freq, mpcc, duration=None):
+        self.ctrl_freq = ctrl_freq
+        self.mpcc = mpcc
+        self.theta = 0.0
+        self.theta_dot = 0.0
+        self.duration = duration
+
+    def reset(self):
+        self.theta = 0.0
+        self.theta_dot = 0.0
+        self.mpcc.reset()
+
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+        obs12 = np.concatenate(
+            [[pos[0], vel[0], pos[1], vel[1], pos[2], vel[2]], rpy, pqr]
+        )
+        x_next, xs, self.theta, self.theta_dot = self.mpcc.solve(
+            obs12, self.theta, self.theta_dot
+        )
+        p = np.array([x_next[0], x_next[2], x_next[4]])
+        v = np.array([x_next[1], x_next[3], x_next[5]])
+        done = self.theta >= self.mpcc.theta_max - 1e-3
+        args = (p, v, np.zeros(3), 0.0, np.zeros(3), global_it / self.ctrl_freq)
+        return done, Command.FULLSTATE, args
+
+
+class StageActionNone(StageAction):
+    def __init__(self, steps=1):
+        self.steps = steps
+
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+        return stage_it >= self.steps - 1, Command.NONE, ()
+
+
+class StageActionFinished(StageAction):
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+        return False, Command.FINISHED, ()
+
+
+class StageSequencer:
+    """Run stages in order (reference stage_sequencer.py:29-111)."""
+
+    def __init__(self, stages):
+        self.stages = list(stages)
+        self.reset()
+
+    def reset(self):
+        self.idx = 0
+        self.stage_it = 0
+        for s in self.stages:
+            s.reset()
+
+    def run(self, global_it, pos, vel, rpy, pqr):
+        if self.idx >= len(self.stages):
+            return Command.FINISHED, ()
+        stage = self.stages[self.idx]
+        done, command, args = stage.run(global_it, self.stage_it, pos, vel, rpy, pqr)
+        self.stage_it += 1
+        if done:
+            self.idx += 1
+            self.stage_it = 0
+        return command, args

@@ -38,7 +38,9 @@ GATE_OUTER_HALF = 0.25
 GATE_SLAB_HALF = 0.025  # frame thickness / 2
 OBSTACLE_RADIUS = 0.05
 OBSTACLE_HEIGHT = 1.05
-GROUND_COLLISION_Z = 0.025  # drone collision volume touches the plane
+# Ground contact when the cf2x collision cylinder's bottom face reaches the
+# plane (cylinder length 0.025 centered at the base link origin).
+GROUND_COLLISION_Z = 0.0125
 
 
 def _point_vertical_segment_dist(p, seg_xy, z_lo, z_hi):

@@ -1,0 +1,95 @@
+"""Competition-layer tests (reference tests/test_competition/test_competition.py
+runs one end-to-end episode in the software-PID mode; here we additionally
+assert course completion and test the planner and MPCC directly)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+from safe_control_gym_tpu.competition.planning import (
+    CylinderObstacle,
+    Limits,
+    State,
+    plan_time_optimal_trajectory_through_gates,
+    pmm_segment,
+)
+
+LEVELS = os.path.join(
+    os.path.dirname(__file__), "..", "safe_control_gym_tpu", "competition", "levels"
+)
+
+
+def _load_level(n):
+    with open(os.path.join(LEVELS, f"level{n}.yaml")) as f:
+        return yaml.safe_load(f)["quadrotor_config"]
+
+
+def test_pmm_segment_reaches_target():
+    traj = pmm_segment(
+        [0, 0, 1], [0, 0, 0], [2, 1, 1.5], [0.5, 0, 0],
+        np.array([-3.0, -3.0, -3.0]), np.array([3.0, 3.0, 3.0]),
+    )
+    ts, ps, vs = traj.sample(50)
+    np.testing.assert_allclose(ps[0], [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(ps[-1], [2, 1, 1.5], atol=1e-3)
+    np.testing.assert_allclose(vs[-1], [0.5, 0, 0], atol=1e-2)
+
+
+def test_planner_through_gates_avoids_obstacles():
+    gates = [(np.array([1.0, -1.0, 1.0]), 0.0), (np.array([2.0, 1.0, 1.0]), 1.57)]
+    obstacle = CylinderObstacle(np.array([1.5, 0.0, 0]), 0.05, 1.05)
+    traj = plan_time_optimal_trajectory_through_gates(
+        State(np.array([0.0, 0.0, 1.0]), np.zeros(3)),
+        State(np.array([3.0, 1.5, 1.0]), np.zeros(3)),
+        gates,
+        Limits(np.array([-4.0, -4.0, -4.0]), np.array([4.0, 4.0, 4.0])),
+        Limits(np.array([0.5, -0.5, -3.14]), np.array([3.0, 0.5, 3.14])),
+        obstacles=[obstacle],
+        max_iterations=3,
+    )
+    ts, ps, _ = traj.sample(200)
+    for g, _ in gates:
+        assert np.linalg.norm(ps[:, :3] - g, axis=-1).min() < 0.1
+    assert obstacle.min_distance(ps[:, :3]) > 0.0
+
+
+def test_level0_sim_only_completes_course():
+    """End-to-end level0 episode in the software-PID mode: all 4 gates,
+    no collisions, positive competition reward."""
+    from safe_control_gym_tpu.competition.getting_started import run
+
+    eps = run(_load_level(0), num_episodes=1, use_firmware=False, ctrl_freq=60)
+    ep = eps[0]
+    assert ep["collisions"] == 0, ep
+    assert ep["gates_passed"] == 4, ep
+    assert ep["reward"] > 300, ep
+
+
+def test_level2_sim_only_randomized_runs():
+    """Level 2 adds randomized gates/inertia/disturbances — the episode must
+    run end-to-end (completion not guaranteed under randomization)."""
+    from safe_control_gym_tpu.competition.getting_started import run
+
+    eps = run(_load_level(2), num_episodes=1, use_firmware=False, ctrl_freq=60)
+    assert eps[0]["steps"] > 60, eps
+
+
+def test_mpcc_solver_progresses():
+    from safe_control_gym_tpu.competition.mpcc_controller import MPCCController
+
+    traj = pmm_segment(
+        [0, 0, 1], [0, 0, 0], [3, 0, 1], [0, 0, 0],
+        np.array([-3.0, -3.0, -3.0]), np.array([3.0, 3.0, 3.0]),
+    )
+    mpcc = MPCCController(traj, dt=0.04, horizon=15, ilqr_iters=8)
+    obs = np.zeros(12)
+    obs[4] = 1.0  # hover at start
+    theta, theta_dot = 0.0, 0.0
+    for _ in range(10):
+        x_next, xs, theta, theta_dot = mpcc.solve(obs, theta, theta_dot)
+        obs = x_next[:12]
+    assert theta > 0.05, f"no progress: theta={theta}"
+    assert np.isfinite(x_next).all()
