@@ -17,12 +17,33 @@ import os
 import pickle
 
 import jax
+import jax.numpy as jnp
+
+
+class _KeyLeaf:
+    """Pickle-able stand-in for typed PRNG key arrays."""
+
+    def __init__(self, impl: str, data):
+        self.impl = impl
+        self.data = data
+
+
+def _encode(leaf):
+    if hasattr(leaf, "dtype") and jnp.issubdtype(getattr(leaf, "dtype", None), jax.dtypes.prng_key):
+        return _KeyLeaf(str(jax.random.key_impl(leaf)), jax.device_get(jax.random.key_data(leaf)))
+    return jax.device_get(leaf)
+
+
+def _decode(leaf):
+    if isinstance(leaf, _KeyLeaf):
+        return jax.random.wrap_key_data(jnp.asarray(leaf.data), impl=leaf.impl)
+    return leaf
 
 
 def save_checkpoint(path: str, state, step: int | None = None, metadata: dict | None = None):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
-        "state": jax.device_get(state),
+        "state": jax.tree.map(_encode, state),
         "step": step,
         "metadata": metadata or {},
     }
@@ -35,7 +56,10 @@ def save_checkpoint(path: str, state, step: int | None = None, metadata: dict | 
 def load_checkpoint(path: str):
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    return payload["state"], payload["step"], payload["metadata"]
+    state = jax.tree.map(
+        _decode, payload["state"], is_leaf=lambda x: isinstance(x, _KeyLeaf)
+    )
+    return state, payload["step"], payload["metadata"]
 
 
 def latest_checkpoint(ckpt_dir: str, prefix: str = "ckpt_"):
