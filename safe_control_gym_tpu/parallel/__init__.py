@@ -9,14 +9,17 @@ statistics ride ICI collectives (psum) instead of pickled pipe messages.
 """
 
 from safe_control_gym_tpu.parallel.vector import VecEnv, make_vec_env
-from safe_control_gym_tpu.parallel.rollout import rollout, RolloutCarry
+from safe_control_gym_tpu.parallel.rollout import rollout, RolloutCarry, EpisodeStats
 from safe_control_gym_tpu.parallel.mesh import make_mesh, shard_batch
+from safe_control_gym_tpu.parallel.episode_stats import RecordEpisodeStatistics
 
 __all__ = [
     "VecEnv",
     "make_vec_env",
     "rollout",
     "RolloutCarry",
+    "EpisodeStats",
     "make_mesh",
     "shard_batch",
+    "RecordEpisodeStatistics",
 ]

@@ -66,7 +66,9 @@ def make_vec_env(env, num_envs: int, auto_reset: bool = True) -> VecEnv:
     def step(state, actions):
         new_state, obs, rew, done, info = vstep(state, actions)
         # Fresh episodes for done envs, derived from each env's own key —
-        # independent of batch layout.
+        # independent of batch layout.  Computed unconditionally and masked
+        # in: a lax.cond gate on any(done) measured *slower* on TPU (branch
+        # + operand-copy overhead exceeds the masked reset's fused cost).
         reset_keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(new_state.key)
         r_state, r_obs, _ = vreset(reset_keys)
         out_state = _where_tree(done, r_state, new_state)
