@@ -56,9 +56,16 @@ def timing_ep(fn):
     return wrapped
 
 
-def dispatch_command(firmware_wrapper, command: Command, args):
-    """Map a Command to the firmware API (reference getting_started.py:175-190)."""
+def dispatch_command(firmware_wrapper, command: Command, args, t=None):
+    """Map a Command to the firmware API (reference getting_started.py:175-190).
+
+    FULLSTATE args may be reference-style ``[pos, vel, acc, yaw, rpy_rates]``
+    (the dispatch loop appends the current time, as the reference does at
+    getting_started.py:176) or carry an explicit trailing timestep.
+    """
     if command == Command.FULLSTATE:
+        if len(args) == 5:
+            args = (*args, 0.0 if t is None else t)
         firmware_wrapper.sendFullStateCmd(*args)
     elif command == Command.TAKEOFF:
         firmware_wrapper.sendTakeoffCmd(*args)

@@ -27,6 +27,11 @@ from safe_control_gym_tpu.competition.stage_actions import (
     StageActionTakeOff,
     StageSequencer,
 )
+from safe_control_gym_tpu.competition.risk import (
+    GateCorrector,
+    RateEstimator,
+    RiskAdviser,
+)
 from safe_control_gym_tpu.competition.trajectory import retime_trajectory
 from safe_control_gym_tpu.controllers.pid import PIDState, pid_control
 from safe_control_gym_tpu.envs.quadrotor import KF
@@ -141,6 +146,15 @@ class Controller:
         self.interstep_counter = 0
         self.interepisode_counter = 0
 
+        # Meta-strategy stack (reference ek_controller_impl.py:52-57,113-135):
+        # online vel/pqr estimation for pose-only obs streams, per-episode
+        # risk advice, and gate-pose correction tracking.  Forced conservative
+        # matches the reference's shipped configuration (:57).
+        self.rate_estimator = RateEstimator(self.CTRL_TIMESTEP)
+        self.risk_adviser = RiskAdviser(forced_conservative_mode=True)
+        self.gate_corrector = GateCorrector(gate_heights=heights)
+        self._last_task_completed = False
+
     # -- firmware command path (edit_this.py cmdFirmware) -----------------------
     def cmdFirmware(self, time_s, obs, reward=None, done=None, info=None):
         obs = np.asarray(obs)
@@ -148,8 +162,22 @@ class Controller:
         vel = np.array([obs[1], obs[3], obs[5]])
         rpy = obs[6:9]
         pqr = obs[9:12]
+        # Vicon-style obs carry pose only; estimate the missing rates
+        # (reference ek_controller_impl.py:142-145).
+        est_vel, est_pqr = self.rate_estimator.estimate(pos, rpy)
+        if not np.any(vel):
+            vel = est_vel
+        if not np.any(pqr) and self.rate_estimator.body_rates_enabled:
+            pqr = est_pqr
+        corrections = self.gate_corrector.update(info or {})
+        if info:
+            if info.get("task_completed"):
+                self._last_task_completed = True
+            if info.get("at_goal_position"):
+                self._last_task_completed = True
         it = int(round(time_s * self.CTRL_FREQ))
-        command, args = self.sequencer.run(it, pos, vel, rpy, pqr)
+        command, args = self.sequencer.run(it, pos, vel, rpy, pqr,
+                                           corrections=corrections)
         return command, args
 
     # -- simulation-only path (PID, edit_this.py cmdSimOnly) --------------------
@@ -207,9 +235,20 @@ class Controller:
     @timing_ep
     def interEpisodeLearn(self, *args, **kwargs):
         self.interepisode_counter += 1
+        # Feed the episode outcome + gate sightings to the risk adviser
+        # (reference ek_controller_impl.py:132-135) before resetting.
+        self.risk_adviser.episode_results(
+            self._last_task_completed,
+            self.gate_corrector.nominal,
+            self.gate_corrector.exact,
+        )
+        self._last_task_completed = False
+        self.gate_corrector.reset()
+        self.rate_estimator.reset()
         self.sequencer.reset()
         self._pid_state = PIDState.create()
 
     def reset(self):
         self.sequencer.reset()
+        self.rate_estimator.reset()
         self._pid_state = PIDState.create()

@@ -97,12 +97,16 @@ def run(
         action = np.asarray(env.spaces.action_low, np.float64).copy()
         steps = int(episode_len * ctrl_freq)
         done = False
+        reward = 0.0
         step_info = {}
         for i in range(steps):
             t = i / ctrl_freq
             if use_firmware:
-                command, args = ctrl.cmdFirmware(t, obs)
-                dispatch_command(wrapper, command, args)
+                # Thread the previous step's reward/done/info to the user
+                # controller (reference getting_started.py:172) — gate
+                # corrections and episode-outcome tracking live in info.
+                command, args = ctrl.cmdFirmware(t, obs, reward, done, step_info)
+                dispatch_command(wrapper, command, args, t=t)
                 obs, reward, done, step_info, action = wrapper.step(t, action)
                 if command == Command.FINISHED:
                     break

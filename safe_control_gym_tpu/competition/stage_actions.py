@@ -17,7 +17,7 @@ class StageAction:
     def reset(self):
         pass
 
-    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr, corrections=None):
         raise NotImplementedError
 
 
@@ -30,7 +30,7 @@ class StageActionTakeOff(StageAction):
         self.height = height
         self.duration = duration
 
-    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr, corrections=None):
         if stage_it == 0:
             return False, Command.TAKEOFF, (self.height, self.duration)
         done = stage_it >= self.duration * self.ctrl_freq
@@ -43,7 +43,7 @@ class StageActionLand(StageAction):
         self.height = height
         self.duration = duration
 
-    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr, corrections=None):
         if stage_it == 0:
             return False, Command.LAND, (self.height, self.duration)
         done = stage_it >= self.duration * self.ctrl_freq
@@ -56,7 +56,7 @@ class StageActionGotoXY(StageAction):
         self.target = (x, y, z)
         self.duration = duration
 
-    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr, corrections=None):
         if stage_it == 0:
             x, y, z = self.target
             z = pos[2] if z is None else z
@@ -66,7 +66,7 @@ class StageActionGotoXY(StageAction):
 
 
 class StageActionSetPointStop(StageAction):
-    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr, corrections=None):
         return True, Command.NOTIFYSETPOINTSTOP, ()
 
 
@@ -82,12 +82,30 @@ class StageActionHardBrake(StageAction):
     def reset(self):
         self.hold = None
 
-    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr, corrections=None):
         if self.hold is None:
             self.hold = np.asarray(pos)
         done = stage_it >= self.duration * self.ctrl_freq
         args = (self.hold, np.zeros(3), np.zeros(3), 0.0, np.zeros(3), global_it / self.ctrl_freq)
         return done, Command.FULLSTATE, args
+
+
+def _gate_correction_offset(ref_p, corrections, radius=0.8):
+    """Shift a reference point by the measured next-gate pose correction.
+
+    The env reveals the exact gate pose only once the drone is in range
+    (reference ek_controller_impl.py:228-291); the offset is blended in with
+    a Gaussian weight centered on the gate so the track deforms locally
+    instead of jumping.
+    """
+    if not corrections:
+        return np.zeros(3)
+    delta = np.asarray(corrections.get("next_gate_correction", np.zeros(3)))
+    if not np.any(delta):
+        return np.zeros(3)
+    gate = np.asarray(corrections.get("next_gate_location", np.full(3, 99.0)))
+    d = np.linalg.norm(np.asarray(ref_p) - gate)
+    return delta * np.exp(-0.5 * (d / radius) ** 2)
 
 
 class StageActionSpline(StageAction):
@@ -108,7 +126,7 @@ class StageActionSpline(StageAction):
     def reset(self):
         self.ref_t = self.traj.start_time
 
-    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr, corrections=None):
         ref_p = self.traj.position(self.ref_t).reshape(-1)[:3]
         scale = self.speed_scale
         if self.gate_centers:
@@ -118,6 +136,7 @@ class StageActionSpline(StageAction):
         self.ref_t = min(self.ref_t + scale / self.ctrl_freq, self.traj.end_time)
         done = self.ref_t >= self.traj.end_time
         p = self.traj.position(self.ref_t).reshape(-1)[:3]
+        p = p + _gate_correction_offset(p, corrections)
         v = self.traj.velocity(self.ref_t).reshape(-1)[:3] * scale
         args = (p, v, np.zeros(3), 0.0, np.zeros(3), global_it / self.ctrl_freq)
         return done, Command.FULLSTATE, args
@@ -139,7 +158,7 @@ class StageActionMPCC(StageAction):
         self.theta_dot = 0.0
         self.mpcc.reset()
 
-    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr, corrections=None):
         obs12 = np.concatenate(
             [[pos[0], vel[0], pos[1], vel[1], pos[2], vel[2]], rpy, pqr]
         )
@@ -147,6 +166,7 @@ class StageActionMPCC(StageAction):
             obs12, self.theta, self.theta_dot
         )
         p = np.array([x_next[0], x_next[2], x_next[4]])
+        p = p + _gate_correction_offset(p, corrections)
         v = np.array([x_next[1], x_next[3], x_next[5]])
         done = self.theta >= self.mpcc.theta_max - 1e-3
         args = (p, v, np.zeros(3), 0.0, np.zeros(3), global_it / self.ctrl_freq)
@@ -157,12 +177,12 @@ class StageActionNone(StageAction):
     def __init__(self, steps=1):
         self.steps = steps
 
-    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr, corrections=None):
         return stage_it >= self.steps - 1, Command.NONE, ()
 
 
 class StageActionFinished(StageAction):
-    def run(self, global_it, stage_it, pos, vel, rpy, pqr):
+    def run(self, global_it, stage_it, pos, vel, rpy, pqr, corrections=None):
         return False, Command.FINISHED, ()
 
 
@@ -179,11 +199,13 @@ class StageSequencer:
         for s in self.stages:
             s.reset()
 
-    def run(self, global_it, pos, vel, rpy, pqr):
+    def run(self, global_it, pos, vel, rpy, pqr, corrections=None):
         if self.idx >= len(self.stages):
             return Command.FINISHED, ()
         stage = self.stages[self.idx]
-        done, command, args = stage.run(global_it, self.stage_it, pos, vel, rpy, pqr)
+        done, command, args = stage.run(
+            global_it, self.stage_it, pos, vel, rpy, pqr, corrections=corrections
+        )
         self.stage_it += 1
         if done:
             self.idx += 1
