@@ -61,7 +61,7 @@ def build():
 
     @jax.jit
     def run(carry):
-        carry, _ = rollout(vec, policy, carry, STEPS_PER_CALL, collect=False)
+        carry, _ = rollout(vec, policy, carry, STEPS_PER_CALL, collect=False, unroll=8)
         return carry
 
     carry = RolloutCarry(state, obs, (), EpisodeStats.create(B, obs.dtype))

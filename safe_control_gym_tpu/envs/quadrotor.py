@@ -193,6 +193,10 @@ class QuadrotorConfig:
     dtype: Any = jnp.float32
     q_weight: Optional[Any] = None
     r_weight: Optional[Any] = None
+    # Fused Pallas substep kernel for the batched 3D hot path:
+    # None = auto (TPU backend, f32, eligible batch), False = never,
+    # True = force (interpret mode off-TPU; tests).
+    use_pallas: Optional[bool] = None
 
 
 class QuadState(struct.PyTreeNode):
@@ -681,6 +685,33 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
             return state.replace(adv_force=f)
         raise RuntimeError("adversary_disturbance is not configured for this env.")
 
+    # Fused Pallas fast path for the batched 3D substep loop (ops/pallas_quad).
+    # The unbatched primal below is the exact historical chain, so per-env
+    # numerics (and the CPU oracle tests) are untouched; only eligible
+    # vmapped TPU executions route to the fused kernel.
+    fused_integrator = None
+    if (
+        quad_type == QuadType.THREE_D
+        and not (use_gnd or use_drag)
+        and cfg.use_pallas is not False
+    ):
+        from safe_control_gym_tpu.ops.pallas_quad import make_quad3d_integrator
+
+        def _xla_substeps(x, forces, ext_f3, mass, j_diag):
+            fc_l = lambda xx, uu: _fc(xx, uu, mass, j_diag, ext_f3)
+            if physics == "dyn":
+                for _ in range(n_sub):
+                    x = x + pyb_dt * fc_l(x, forces)
+            else:
+                for _ in range(n_sub):
+                    x = rk4_step(fc_l, x, forces, pyb_dt)
+            return x
+
+        fused_integrator = make_quad3d_integrator(
+            _xla_substeps, pyb_dt, n_sub, euler=(physics == "dyn"),
+            force_pallas=cfg.use_pallas,
+        )
+
     def step(state: QuadState, action):
         key, k_step = jax.random.split(state.key)
         k_act = jax.random.fold_in(k_step, 0)
@@ -721,14 +752,17 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
         if cfg.adversary_disturbance == "dynamics":
             ext_f3 = ext_f3 + state.adv_force
 
-        fc = lambda x, u: _fc(x, u, state.mass, state.j_diag, ext_f3)
         x = state.x
-        if physics == "dyn":
-            for _ in range(n_sub):
-                x = x + pyb_dt * fc(x, forces)
+        if fused_integrator is not None:
+            x = fused_integrator(x, forces, ext_f3, state.mass, state.j_diag)
         else:
-            for _ in range(n_sub):
-                x = rk4_step(fc, x, forces, pyb_dt)
+            fc = lambda x, u: _fc(x, u, state.mass, state.j_diag, ext_f3)
+            if physics == "dyn":
+                for _ in range(n_sub):
+                    x = x + pyb_dt * fc(x, forces)
+            else:
+                for _ in range(n_sub):
+                    x = rk4_step(fc, x, forces, pyb_dt)
 
         new_state = state.replace(
             x=x,

@@ -59,13 +59,22 @@ class EpisodeStats(struct.PyTreeNode):
             sum_violations=self.sum_violations + jnp.where(d, ep_vio, 0.0),
         )
 
-    def means(self):
-        n = jnp.maximum(self.done_count.sum(), 1)
+    def means(self, axis_name=None):
+        """Completed-episode means.  With ``axis_name`` the sums are
+        psum-reduced across that mesh axis (use inside shard_map; the
+        collective rides ICI — SubprocVecEnv's pipe gather, SURVEY §2.8)."""
+        reduce = (
+            (lambda x: jax.lax.psum(x, axis_name))
+            if axis_name is not None
+            else (lambda x: x)
+        )
+        episodes = reduce(self.done_count.sum())
+        n = jnp.maximum(episodes, 1)
         return {
-            "mean_return": self.sum_return.sum() / n,
-            "mean_length": self.sum_length.sum() / n,
-            "mean_violations": self.sum_violations.sum() / n,
-            "episodes": self.done_count.sum(),
+            "mean_return": reduce(self.sum_return.sum()) / n,
+            "mean_length": reduce(self.sum_length.sum()) / n,
+            "mean_violations": reduce(self.sum_violations.sum()) / n,
+            "episodes": episodes,
         }
 
 
@@ -82,6 +91,7 @@ def rollout(
     carry: RolloutCarry,
     num_steps: int,
     collect: bool = True,
+    unroll: int = 1,
 ):
     """Run ``num_steps`` batched env steps under one scan.
 
@@ -90,6 +100,9 @@ def rollout(
     along the leading time axis — the buffer layout RL consumers expect
     (reference PPOBuffer scheme, ppo_utils.py:282-407) — or None if
     ``collect=False`` (pure throughput / eval).
+    ``unroll`` unrolls the scan body (cuts TPU loop overhead and lets XLA
+    fuse across steps; use ~8 for throughput runs, 1 when collecting to
+    bound compile time).
     """
 
     def body(c: RolloutCarry, _):
@@ -110,7 +123,7 @@ def rollout(
             out = {k: v for k, v in out.items() if v is not None}
         return RolloutCarry(env_state, obs, pstate, stats), out
 
-    carry, traj = jax.lax.scan(body, carry, None, length=num_steps)
+    carry, traj = jax.lax.scan(body, carry, None, length=num_steps, unroll=unroll)
     return carry, traj
 
 
@@ -121,20 +134,36 @@ def sharded_rollout_fn(
     mesh,
     axis_name: str = "env",
     collect: bool = False,
+    unroll: int = 1,
 ):
-    """Build a pjit-ed rollout over a device mesh.
+    """Build a shard_map-ed rollout over a device mesh.
 
-    The env batch is sharded over ``axis_name``; the body is identical to the
-    single-device path (SPMD — XLA partitions it), so scaling out is a
-    sharding annotation, not a code change.  Returns a jitted function
-    ``(carry) -> (carry, global_stats)`` where global stats are psum-reduced
-    across the mesh.
+    The env batch (every leading-B leaf of the carry) shards over
+    ``axis_name``; policy state is replicated.  Each shard runs the
+    single-device rollout on its *local* slice — so per-shard code is
+    identical to the single-chip path (including the fused Pallas substep
+    kernel, which GSPMD auto-partitioning could not split) — and global
+    episode statistics are psum-reduced over ICI.  Returns a jitted
+    ``(carry) -> (carry, global_stats)``.
     """
-    batch = NamedSharding(mesh, P(axis_name))
+    from jax.experimental.shard_map import shard_map
 
-    @partial(jax.jit, donate_argnums=0)
-    def run(carry: RolloutCarry):
-        carry, _ = rollout(vec_env, policy_fn, carry, num_steps, collect=collect)
-        return carry, carry.stats.means()
+    carry_spec = RolloutCarry(
+        env_state=P(axis_name), obs=P(axis_name), policy_state=P(),
+        stats=P(axis_name),
+    )
 
-    return run
+    def local_run(carry: RolloutCarry):
+        carry, _ = rollout(
+            vec_env, policy_fn, carry, num_steps, collect=collect, unroll=unroll
+        )
+        return carry, carry.stats.means(axis_name=axis_name)
+
+    run = shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(carry_spec,),
+        out_specs=(carry_spec, P()),
+        check_rep=False,
+    )
+    return jax.jit(run, donate_argnums=0)

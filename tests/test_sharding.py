@@ -73,3 +73,36 @@ def test_sharded_rollout_stats(setup):
     # 25-step episodes (0.5 s @ 50 Hz): 30 steps => at least 1 episode per
     # env (a few envs may terminate early out-of-bound and re-reset).
     assert int(m["episodes"]) >= B
+
+
+def test_shard_map_rollout_fn(setup):
+    """sharded_rollout_fn: per-shard local rollout + psum'd global stats."""
+    from safe_control_gym_tpu.parallel.rollout import sharded_rollout_fn
+
+    env = setup
+    B = 64
+    vec = make_vec_env(env, B)
+    mesh = make_mesh()
+    state, obs, _ = jax.jit(vec.reset)(jax.random.key(5))
+    carry = RolloutCarry(
+        env_state=shard_batch(state, mesh),
+        obs=shard_batch(obs, mesh),
+        policy_state=(),
+        stats=shard_batch(EpisodeStats.create(B), mesh),
+    )
+    # Policy must derive the batch from obs: inside shard_map it sees the
+    # local shard (B / n_devices).
+    policy = lambda ps, o: (jnp.full((o.shape[0], 4), 0.084), ps)
+    run = sharded_rollout_fn(vec, policy, 30, mesh)
+    carry, stats = run(carry)
+    stats = jax.device_get(stats)
+    assert int(stats["episodes"]) >= B
+    assert np.isfinite(stats["mean_return"])
+
+    # Cross-check against the single-device rollout on identical inputs.
+    state1, obs1, _ = jax.jit(vec.reset)(jax.random.key(5))
+    carry1 = RolloutCarry(state1, obs1, (), EpisodeStats.create(B))
+    carry1, _ = jax.jit(lambda c: rollout(vec, policy, c, 30, collect=False))(carry1)
+    m1 = jax.device_get(carry1.stats.means())
+    assert int(stats["episodes"]) == int(m1["episodes"])
+    np.testing.assert_allclose(stats["mean_return"], m1["mean_return"], rtol=1e-5)
