@@ -42,6 +42,8 @@ class CBF_QP(BaseController):
         slack_weight: float = 10000.0,
         slack_tolerance: float = 1e-3,
         x_max_scale: float = 1.0,
+        barrier_dims=None,
+        barrier_bounds=None,
         hidden_dim: int = 64,
         learning_rate: float = 1e-3,
         max_buffer_size: int = 1_000_000,
@@ -63,6 +65,17 @@ class CBF_QP(BaseController):
         lows = np.asarray(env.spaces.state_low)
         self.x_max = float(min(abs(lows[0]), 100.0)) * x_max_scale
         self.v_max = float(2.0) * x_max_scale  # velocity box is unbounded; use 2 m/s
+        # General ellipsoidal barrier over arbitrary state dims:
+        # h(x) = 0.5 (1 - sum_i x[d_i]^2 / b_i^2).  Defaults reproduce the
+        # reference's 2D cartpole barrier over (x, x_dot)
+        # (cbf_qp_utils.py:10-40); pass barrier_dims/bounds for higher-dim
+        # safe sets (e.g. quadrotor position+velocity tubes).
+        if barrier_dims is None:
+            barrier_dims = (0, 1)
+            barrier_bounds = (self.x_max, self.v_max)
+        assert barrier_bounds is not None and len(barrier_bounds) == len(barrier_dims)
+        self.barrier_dims = tuple(int(d) for d in barrier_dims)
+        self.barrier_bounds = tuple(float(b) for b in barrier_bounds)
 
         # Residual model: state -> (a (nu,), b).
         self.mlp = MLP(nu + 1, (hidden_dim, hidden_dim), act="relu")
@@ -77,8 +90,12 @@ class CBF_QP(BaseController):
 
     # -- barrier and derivatives ---------------------------------------------
     def barrier(self, x):
-        """h(x) >= 0 inside the safe set (cbf_qp_utils.py:33-34)."""
-        return 0.5 * (1.0 - x[0] ** 2 / self.x_max**2 - x[1] ** 2 / self.v_max**2)
+        """h(x) >= 0 inside the safe set (cbf_qp_utils.py:33-34), generalized
+        to an ellipsoid over ``barrier_dims``."""
+        q = sum(
+            x[d] ** 2 / b**2 for d, b in zip(self.barrier_dims, self.barrier_bounds)
+        )
+        return 0.5 * (1.0 - q)
 
     def lie_derivative_coeffs(self, x):
         """L_f h(x, u) is affine in u: returns (c0, c1) with L = c0 + c1'u."""
@@ -143,10 +160,9 @@ class CBF_QP(BaseController):
         supremum over the input box is attained at a corner.
         """
         nx, nu = self.model.nx, self.nu
-        axes = [
-            np.linspace(-self.x_max - tolerance, self.x_max + tolerance, num_points),
-            np.linspace(-self.v_max - tolerance, self.v_max + tolerance, num_points),
-        ] + [np.zeros(1)] * (nx - 2)
+        axes = [np.zeros(1)] * nx
+        for d, b in zip(self.barrier_dims, self.barrier_bounds):
+            axes[d] = np.linspace(-b - tolerance, b + tolerance, num_points)
         grid = np.stack([g.ravel() for g in np.meshgrid(*axes)], -1).astype(np.float32)
         corners = jnp.asarray(
             np.stack([c for c in itertools.product(*zip(np.asarray(self.u_lo), np.asarray(self.u_hi)))]),

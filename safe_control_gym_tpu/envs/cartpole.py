@@ -253,7 +253,8 @@ def make_cartpole(config: CartPoleConfig = CartPoleConfig()) -> FnEnv:
         prog = dist_progs["observation"]
         if prog is not None:
             obs = prog.apply(
-                state.dist_sched["observation"], key, state.ctrl_step, state.pyb_step, obs
+                state.dist_sched["observation"], key, state.ctrl_step, state.pyb_step,
+                obs, x=state.x,
             )
         return _extend_obs(obs, state.ctrl_step + 1)
 
@@ -319,7 +320,8 @@ def make_cartpole(config: CartPoleConfig = CartPoleConfig()) -> FnEnv:
         prog = dist_progs["action"]
         if prog is not None:
             force = prog.apply(
-                state.dist_sched["action"], k_act, state.ctrl_step, state.pyb_step, force
+                state.dist_sched["action"], k_act, state.ctrl_step, state.pyb_step,
+                force, x=state.x,
             )
 
         # Passive dynamics disturbance: extra horizontal force on the cart.
@@ -327,7 +329,8 @@ def make_cartpole(config: CartPoleConfig = CartPoleConfig()) -> FnEnv:
         prog = dist_progs["dynamics"]
         if prog is not None:
             ext_force = prog.apply(
-                state.dist_sched["dynamics"], k_dyn, state.ctrl_step, state.pyb_step, ext_force
+                state.dist_sched["dynamics"], k_dyn, state.ctrl_step, state.pyb_step,
+                ext_force, x=state.x,
             )
         ext_force = ext_force + state.adv_force
 

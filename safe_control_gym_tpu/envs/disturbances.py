@@ -10,7 +10,13 @@ from the env's key and carried in the env-state PyTree, so every env instance
 in a batch has its own schedule while stepping in lockstep.
 
 Supported types mirror DISTURBANCE_TYPES (disturbances.py:307-312):
-impulse, step, uniform, white_noise, periodic.
+impulse, step, uniform, white_noise, periodic — plus full implementations of
+the two the reference leaves as stubs: ``brownian`` (random walk,
+disturbances.py:251-257 docstring "Simple random walk noise") carried as
+float state in the schedule dict and advanced once per control step via
+``evolve``, and ``state_dependent`` (disturbances.py:291-305 "Time varying
+and state varying, e.g. friction") — a friction-like term
+``-coeff * x[state_index]`` read from the env state.
 """
 
 from __future__ import annotations
@@ -25,7 +31,7 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class _Dist:
-    kind: str  # impulse | step | uniform | white_noise | periodic
+    kind: str  # impulse | step | uniform | white_noise | periodic | brownian | state_dependent
     dim: int
     mask: Optional[np.ndarray]
     # impulse/step
@@ -41,6 +47,9 @@ class _Dist:
     # periodic
     scale: float = 1.0
     frequency: float = 1.0
+    # state_dependent: noise = -coeff * x[state_index] (friction form)
+    coeff: Optional[np.ndarray] = None
+    state_index: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,6 +60,7 @@ class CompiledDisturbances:
     dim: int
     max_step: int  # EPISODE_LEN_SEC / CTRL_TIMESTEP (disturbances.py:112)
     pyb_timestep: float
+    ctrl_timestep: float = 0.02
 
     @property
     def num_scheduled(self) -> int:
@@ -59,6 +69,15 @@ class CompiledDisturbances:
             1 for d in self.dists if d.kind in ("impulse", "step") and d.step_offset is None
         )
 
+    @property
+    def walk_dim(self) -> int:
+        """Total float state carried by brownian entries."""
+        return sum(d.dim for d in self.dists if d.kind == "brownian")
+
+    @property
+    def has_brownian(self) -> bool:
+        return self.walk_dim > 0
+
     def init(self, key):
         """Sample the per-episode schedule; returns (num_scheduled,) int32.
 
@@ -66,14 +85,48 @@ class CompiledDisturbances:
         (disturbances.py:122-126, 169-172).
         """
         n = self.num_scheduled
-        if n == 0:
-            return jnp.zeros((0,), jnp.int32)
-        return jax.random.randint(key, (n,), 0, self.max_step, dtype=jnp.int32)
+        offsets = (
+            jax.random.randint(key, (n,), 0, self.max_step, dtype=jnp.int32)
+            if n
+            else jnp.zeros((0,), jnp.int32)
+        )
+        return {"offsets": offsets, "walk": jnp.zeros((self.walk_dim,), jnp.float32)}
 
-    def apply(self, sched, key, ctrl_step, pyb_step, target):
-        """Sequentially apply all disturbances (disturbances.py:69-79)."""
+    def evolve(self, sched, key):
+        """Advance brownian walks one control step: W += std*sqrt(dt)*N.
+
+        Call once per env step (after ``apply``); a channel without brownian
+        entries returns its schedule unchanged at zero cost.
+        """
+        if not self.has_brownian:
+            return sched
+        walk = sched["walk"]
+        wi = 0
+        parts = []
+        ki = 997  # disjoint from apply()'s fold_in counters
+        for d in self.dists:
+            if d.kind != "brownian":
+                continue
+            sub = jax.random.fold_in(key, ki)
+            ki += 1
+            w = walk[wi : wi + d.dim]
+            step = jnp.asarray(d.std, walk.dtype) * np.sqrt(self.ctrl_timestep)
+            parts.append(w + step * jax.random.normal(sub, (d.dim,), walk.dtype))
+            wi += d.dim
+        return dict(sched, walk=jnp.concatenate(parts) if parts else walk)
+
+    def apply(self, sched, key, ctrl_step, pyb_step, target, x=None):
+        """Sequentially apply all disturbances (disturbances.py:69-79).
+
+        ``x`` is the env state vector, consumed by state_dependent entries.
+        """
         dtype = target.dtype
-        si = 0  # cursor into the schedule vector
+        if isinstance(sched, dict):
+            offsets, walk = sched["offsets"], sched["walk"]
+        else:  # legacy plain offsets array
+            offsets, walk = sched, jnp.zeros((0,), jnp.float32)
+        si = 0  # cursor into the offsets vector
+        wi = 0  # cursor into the walk vector
         ki = 0  # per-step key counter
         out = target
         for d in self.dists:
@@ -84,7 +137,7 @@ class CompiledDisturbances:
             )
             if d.kind in ("impulse", "step"):
                 if d.step_offset is None:
-                    offset = sched[si]
+                    offset = offsets[si]
                     si += 1
                 else:
                     offset = jnp.asarray(d.step_offset, jnp.int32)
@@ -128,6 +181,13 @@ class CompiledDisturbances:
                 t = pyb_step.astype(dtype) * self.pyb_timestep
                 noise = d.scale * jnp.sin(2 * jnp.pi * d.frequency * t + phase)
                 out = out + noise * mask
+            elif d.kind == "brownian":
+                out = out + walk[wi : wi + d.dim].astype(dtype) * mask
+                wi += d.dim
+            elif d.kind == "state_dependent":
+                assert x is not None, "state_dependent disturbance needs the env state"
+                vel = x[jnp.asarray(d.state_index)].astype(dtype)
+                out = out - jnp.asarray(d.coeff, dtype) * vel * mask
             else:
                 raise ValueError(f"unknown disturbance kind {d.kind!r}")
         return out
@@ -196,6 +256,27 @@ def build_disturbances(
                 scale=float(spec.get("scale", 1.0)),
                 frequency=float(spec.get("frequency", 1.0)),
             )
+        elif kind == "brownian":
+            std = spec.get("std", 1.0)
+            d = _Dist(
+                kind="brownian",
+                dim=dim,
+                mask=mask,
+                std=np.broadcast_to(np.asarray(std, float), (dim,)).copy(),
+            )
+        elif kind == "state_dependent":
+            coeff = spec.get("coeff", 1.0)
+            state_index = spec.get("state_index")
+            assert state_index is not None, "state_dependent needs state_index"
+            state_index = np.asarray(state_index, np.int32).reshape(-1)
+            assert state_index.shape[0] == dim
+            d = _Dist(
+                kind="state_dependent",
+                dim=dim,
+                mask=mask,
+                coeff=np.broadcast_to(np.asarray(coeff, float), (dim,)).copy(),
+                state_index=state_index,
+            )
         else:
             raise ValueError(f"unknown disturbance_func {kind!r}")
         dists.append(d)
@@ -204,4 +285,5 @@ def build_disturbances(
         dim=dim,
         max_step=int(episode_len_sec * ctrl_freq),
         pyb_timestep=1.0 / pyb_freq,
+        ctrl_timestep=1.0 / ctrl_freq,
     )

@@ -539,7 +539,8 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
         prog = dist_progs["observation"]
         if prog is not None:
             obs = prog.apply(
-                state.dist_sched["observation"], key, state.ctrl_step, state.pyb_step, obs
+                state.dist_sched["observation"], key, state.ctrl_step, state.pyb_step,
+                obs, x=state.x,
             )
         return _extend_obs(obs, state.ctrl_step + 1)
 
@@ -729,7 +730,8 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
         prog = dist_progs["action"]
         if prog is not None:
             thrust = prog.apply(
-                state.dist_sched["action"], k_act, state.ctrl_step, state.pyb_step, thrust
+                state.dist_sched["action"], k_act, state.ctrl_step, state.pyb_step,
+                thrust, x=state.x,
             )
         if cfg.adversary_disturbance == "action":
             thrust = thrust + state.adv_act
@@ -741,7 +743,8 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
         prog = dist_progs["dynamics"]
         if prog is not None:
             ext = prog.apply(
-                state.dist_sched["dynamics"], k_dyn, state.ctrl_step, state.pyb_step, ext
+                state.dist_sched["dynamics"], k_dyn, state.ctrl_step, state.pyb_step,
+                ext, x=state.x,
             )
         if quad_type == QuadType.ONE_D:
             ext_f3 = jnp.stack([jnp.zeros((), dtype), jnp.zeros((), dtype), ext[0]])
@@ -764,9 +767,18 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
                 for _ in range(n_sub):
                     x = rk4_step(fc, x, forces, pyb_dt)
 
+        sched = state.dist_sched
+        if any(p is not None and p.has_brownian for p in dist_progs.values()):
+            k_walk = jax.random.fold_in(k_step, 3)
+            sched = {
+                mode: (prog.evolve(sched[mode], jax.random.fold_in(k_walk, i))
+                       if prog is not None else sched[mode])
+                for i, (mode, prog) in enumerate(dist_progs.items())
+            }
         new_state = state.replace(
             x=x,
             key=key,
+            dist_sched=sched,
             adv_force=jnp.zeros((3,), dtype),
             adv_act=jnp.zeros((nu,), dtype),
         )

@@ -138,3 +138,29 @@ def test_gp_fit_predict():
     want = np.stack([np.sin(Xq[:, 0]), np.cos(Xq[:, 1])], -1)
     assert np.abs(np.asarray(mean) - want).max() < 0.15
     assert np.all(np.asarray(var) > 0)
+
+
+def test_cbf_higher_dim_barrier():
+    """Generalized ellipsoidal barrier over 4 state dims on the cartpole
+    (position, velocity, angle, angular rate tube)."""
+    from safe_control_gym_tpu.envs.cartpole import CartPoleConfig, make_cartpole
+
+    env = make_cartpole(CartPoleConfig(ctrl_freq=50, pyb_freq=50, episode_len_sec=2))
+    cbf = CBF_QP(
+        env, slope=0.5, soft_constrained=True,
+        barrier_dims=(0, 1, 2, 3), barrier_bounds=(1.0, 2.0, 0.3, 1.0),
+    )
+    # Barrier geometry: positive inside, negative outside.
+    assert float(cbf.barrier(jnp.zeros(4))) == 0.5
+    assert float(cbf.barrier(jnp.asarray([1.0, 0.0, 0.0, 0.0]))) <= 0.0
+    assert float(cbf.barrier(jnp.asarray([0.0, 0.0, 0.3, 0.0]))) <= 0.0
+    # Certification runs on the 4D barrier.
+    u, success = cbf.certify_action(
+        np.array([0.2, 0.1, 0.02, 0.0], np.float32),
+        np.array([1.0], np.float32),
+        use_learned_model=False,
+    )
+    assert np.isfinite(np.asarray(u)).all()
+    # Grid check over the 4D barrier box (coarse grid to keep it quick).
+    ok, infeasible = cbf.is_cbf(num_points=5)
+    assert isinstance(ok, bool)
