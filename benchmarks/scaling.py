@@ -18,7 +18,12 @@ import jax.numpy as jnp
 
 from safe_control_gym_tpu.envs.quadrotor import QuadrotorConfig, make_quadrotor
 from safe_control_gym_tpu.parallel import make_mesh, make_vec_env, shard_batch
-from safe_control_gym_tpu.parallel.rollout import EpisodeStats, RolloutCarry, rollout
+from safe_control_gym_tpu.parallel.rollout import (
+    EpisodeStats,
+    RolloutCarry,
+    rollout,
+    sharded_rollout_fn,
+)
 
 
 def build_run(n_devices, envs_per_device, steps):
@@ -58,6 +63,10 @@ def main(envs_per_device=1024, steps=256, iters=4):
     n = 1
     while n <= n_total:
         run, carry, B = build_run(n, envs_per_device, steps)
+        # Two warmup calls: the first call's output carry carries the
+        # shard_map output shardings, which triggers one retrace on the
+        # second call; steady state begins at call three.
+        carry = run(carry)
         carry = run(carry)
         jax.block_until_ready(carry.obs)
         t0 = time.perf_counter()
