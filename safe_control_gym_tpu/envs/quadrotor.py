@@ -531,7 +531,7 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
             idx = jnp.clip(
                 next_step + jnp.arange(cfg.obs_goal_horizon), 0, x_goal_j.shape[0] - 1
             )
-            return jnp.concatenate([obs, x_goal_j[idx].reshape(-1)])
+            return jnp.concatenate([obs, _goal_rows(idx).reshape(-1)])
         return jnp.concatenate([obs, x_goal_j.reshape(-1)])
 
     def _obs(state: QuadState, key):
@@ -543,6 +543,22 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
                 obs, x=state.x,
             )
         return _extend_obs(obs, state.ctrl_step + 1)
+
+    # TPU gathers over the trajectory table are slow (kCustom gather,
+    # measured ~23 us/step at B=4096); a one-hot contraction rides the MXU
+    # instead (~1 us).  CPU keeps the plain gather.
+    _onehot_goal = (
+        task == Task.TRAJ_TRACKING
+        and jax.devices()[0].platform in ("tpu", "axon")
+    )
+
+    def _goal_rows(steps):
+        """Trajectory reference row(s) for (possibly batched) step indices."""
+        wp = jnp.clip(steps, 0, x_goal_j.shape[0] - 1)
+        if _onehot_goal:
+            oh = jax.nn.one_hot(wp, x_goal_j.shape[0], dtype=x_goal_j.dtype)
+            return oh @ x_goal_j
+        return x_goal_j[wp]
 
     def _pos3d(x):
         """World position of the drone for any quad type."""
@@ -595,30 +611,42 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
             ext_f3 = ext_f3 + rob @ drag_body
         return forces, ext_f3
 
+    # Consolidated reset randomization: one uniform draw covers inertia (4)
+    # + initial state (nx) fields.  Per-field keyed draws cost ~19 threefry
+    # invocations per masked auto-reset step (~6 us/step at B=4096 on v5p);
+    # one (4+nx,) draw with precomputed affine bounds is a single pass.
+    def _rand_bounds():
+        names = ["M", "Ixx", "Iyy", "Izz"]
+        infos = [inertial_rand if cfg.randomized_inertial_prop else {}] * 4
+        names += list(INIT_LABELS[quad_type])
+        infos += [init_rand if cfg.randomized_init else {}] * nx
+        lo, hi = [], []
+        for name, info in zip(names, infos):
+            if name in info:
+                lo.append(float(info[name]["low"]))
+                hi.append(float(info[name]["high"]))
+            else:
+                lo.append(0.0)
+                hi.append(0.0)
+        return jnp.asarray(lo, dtype), jnp.asarray(hi, dtype)
+
+    _rand_lo, _rand_hi = _rand_bounds()
+    _nominal_rand = jnp.asarray(
+        [nom_mass, *nom_j]
+        + [float(init_state.get(n, 0.0)) for n in INIT_LABELS[quad_type]],
+        dtype,
+    )
+
     def reset(key):
         ks = jax.random.split(key, 8)
         k_gates, k_obst, k_inertial, k_init, k_do, k_da, k_dd, carry = ks
-        # Inertial randomization (additive, quadrotor.py:454-467).
-        if cfg.randomized_inertial_prop:
-            ki = jax.random.split(k_inertial, 4)
-            mass = _uniform_add(ki[0], nom_mass, inertial_rand, "M")
-            jx = _uniform_add(ki[1], nom_j[0], inertial_rand, "Ixx")
-            jy = _uniform_add(ki[2], nom_j[1], inertial_rand, "Iyy")
-            jz = _uniform_add(ki[3], nom_j[2], inertial_rand, "Izz")
-        else:
-            mass = jnp.asarray(nom_mass, dtype)
-            jx, jy, jz = (jnp.asarray(v, dtype) for v in nom_j)
-        j_diag = jnp.stack([jx, jy, jz])
-        # Initial state randomization.
-        vals = []
-        ki = jax.random.split(k_init, nx)
-        for i, name in enumerate(INIT_LABELS[quad_type]):
-            nom = float(init_state.get(name, 0.0))
-            if cfg.randomized_init:
-                vals.append(_uniform_add(ki[i], nom, init_rand, name))
-            else:
-                vals.append(jnp.asarray(nom, dtype))
-        x0 = jnp.stack(vals)
+        # Inertial + initial-state randomization (additive uniform,
+        # quadrotor.py:454-493) in one fused draw.
+        u = jax.random.uniform(k_inertial, (4 + nx,), dtype)
+        drawn = _nominal_rand + _rand_lo + u * (_rand_hi - _rand_lo)
+        mass = drawn[0]
+        j_diag = drawn[1:4]
+        x0 = drawn[4:]
         # Gate / obstacle pose randomization (quadrotor.py:370-434).
         g_xy = jnp.asarray(gates_nom[:, :2], dtype) if NG else jnp.zeros((0, 2), dtype)
         g_yaw = jnp.asarray(gates_nom[:, 5], dtype) if NG else jnp.zeros((0,), dtype)
@@ -867,8 +895,7 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
         # -- done (quadrotor.py:956-1002)
         goal_reached = jnp.zeros((), bool)
         done = jnp.zeros((), bool)
-        wp = jnp.clip(state.ctrl_step, 0, x_goal_j.shape[0] - 1) if task == Task.TRAJ_TRACKING else None
-        goal = x_goal_j if task == Task.STABILIZATION else x_goal_j[wp]
+        goal = x_goal_j if task == Task.STABILIZATION else _goal_rows(state.ctrl_step)
         if task == Task.STABILIZATION and cost == Cost.QUADRATIC:
             goal_reached = jnp.linalg.norm(x - goal) < goal_tol
             done = done | goal_reached

@@ -8,12 +8,13 @@ chain compiles to dozens of small VPU kernels whose dispatch overhead
 dominates at B≈4k (measured ~28 us per substep on v5p vs <1 us of actual
 VPU compute).  This kernel fuses the *entire* substep loop — all RK4 stages
 of all substeps — into one Pallas program: state lives in VMEM/registers as
-12 component rows of shape (1, B), HBM is touched exactly once in and once
-out.
+12 component tiles, HBM is touched exactly once in and once out.
 
-Layout: batch on the **lane** dimension — arrays arrive transposed as
-(components, B) so every elementwise op runs over B-wide lanes (f32 tile
-(8, 128); 12 component sublanes pad to 16).
+Layout: batch spread over **sublanes x lanes** — each state component
+arrives as an (8, B/8) tile (f32 native tile is (8, 128)), so every
+elementwise op drives all 8 VPU sublanes.  The first cut used (1, B) rows
+(batch on lanes only) and measured 59 us/call at B=4096 — 1/8 VPU
+utilization; this layout runs the same math ~8x faster.
 
 Dispatch is a ``jax.custom_batching.custom_vmap``: the unbatched primal is
 the caller-supplied XLA substep chain (bitwise-identical to the historical
@@ -41,7 +42,7 @@ _TPU_PLATFORMS = ("tpu", "axon")
 
 
 def _fc_rows(s, f, ext, minv, j, g, arm_l, km_over_kf):
-    """Rigid-body derivative on (1, B) component rows.
+    """Rigid-body derivative on per-component (sub, lanes) tiles.
 
     Same closed form as envs/quadrotor.py::quad_fc_3d (itself transcribed
     from reference quadrotor.py:624-674); kept in component-row form so the
@@ -91,15 +92,16 @@ def _axpy(x, a, k):
 
 def _substeps_kernel(x_ref, f_ref, ext_ref, m_ref, j_ref, o_ref, *,
                      dt, n_sub, euler, g, arm_l, km_over_kf):
+    # refs are (rows, SUB, LANES); component i is the (SUB, LANES) tile ref[i].
     x = x_ref[:]
-    s = tuple(x[i : i + 1, :] for i in range(_NX))
+    s = tuple(x[i] for i in range(_NX))
     fr = f_ref[:]
-    f = tuple(fr[i : i + 1, :] for i in range(4))
+    f = tuple(fr[i] for i in range(4))
     er = ext_ref[:]
-    ext = tuple(er[i : i + 1, :] for i in range(3))
-    minv = 1.0 / m_ref[:]
+    ext = tuple(er[i] for i in range(3))
+    minv = 1.0 / m_ref[0]
     jr = j_ref[:]
-    j = tuple(jr[i : i + 1, :] for i in range(3))
+    j = tuple(jr[i] for i in range(3))
 
     fc = functools.partial(_fc_rows, f=f, ext=ext, minv=minv, j=j, g=g,
                            arm_l=arm_l, km_over_kf=km_over_kf)
@@ -115,28 +117,39 @@ def _substeps_kernel(x_ref, f_ref, ext_ref, m_ref, j_ref, o_ref, *,
                 si + dt / 6 * (a + 2 * b + 2 * c + d)
                 for si, a, b, c, d in zip(s, k1, k2, k3, k4)
             )
-    o_ref[:] = jnp.concatenate(s, axis=0)
+    o_ref[:] = jnp.stack(s, axis=0)
 
 
 def _pallas_substeps(x_b, f_b, ext_b, m_b, j_b, *, dt, n_sub, euler,
-                     g, arm_l, km_over_kf, block, interpret=False):
-    """(B, nx) batched fused substeps via one Pallas program."""
+                     g, arm_l, km_over_kf, block, sub, interpret=False):
+    """(B, nx) batched fused substeps via one Pallas program.
+
+    Components are laid out as (rows, sub, B/sub): sublane dim ``sub`` (8 for
+    full VPU occupancy when B % 1024 == 0, else 1) x lane dim B/sub.
+    ``block`` tiles the lane dimension.
+    """
     B = x_b.shape[0]
     dtype = x_b.dtype
-    grid = B // block
+    lanes = B // sub
+    grid = lanes // block
     kern = functools.partial(
         _substeps_kernel, dt=dt, n_sub=n_sub, euler=euler, g=g,
         arm_l=arm_l, km_over_kf=km_over_kf,
     )
     row_spec = lambda rows: pl.BlockSpec(
-        (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        (rows, sub, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
     )
+    def to_tiles(a, rows):
+        # (B, rows) -> (rows, sub, lanes): component-major, batch split over
+        # sublanes x lanes.
+        return a.T.reshape(rows, sub, lanes)
+
     out = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[row_spec(_NX), row_spec(4), row_spec(3), row_spec(1), row_spec(3)],
         out_specs=row_spec(_NX),
-        out_shape=jax.ShapeDtypeStruct((_NX, B), dtype),
+        out_shape=jax.ShapeDtypeStruct((_NX, sub, lanes), dtype),
         cost_estimate=pl.CostEstimate(
             # ~115 flops + 8 transcendentals per fc eval; 4 evals/substep.
             flops=n_sub * 4 * 115 * B,
@@ -145,13 +158,13 @@ def _pallas_substeps(x_b, f_b, ext_b, m_b, j_b, *, dt, n_sub, euler,
         ),
         interpret=interpret,
     )(
-        x_b.T,
-        f_b.T,
-        ext_b.T,
-        m_b.reshape(1, B),
-        j_b.T,
+        to_tiles(x_b, _NX),
+        to_tiles(f_b, 4),
+        to_tiles(ext_b, 3),
+        m_b.reshape(1, sub, lanes),
+        to_tiles(j_b, 3),
     )
-    return out.T
+    return out.reshape(_NX, B).T
 
 
 def make_quad3d_integrator(xla_substeps, dt, n_sub, euler=False, *,
@@ -180,11 +193,14 @@ def make_quad3d_integrator(xla_substeps, dt, n_sub, euler=False, *,
         ]
         x_b, f_b, ext_b, m_b, j_b = full
         platform = jax.devices()[0].platform
-        # Block must tile the batch exactly and keep lanes 128-aligned.
-        if axis_size % 4096 == 0:
+        # Sublane split for full VPU occupancy; lanes must stay 128-aligned
+        # and the lane block must tile the lane extent exactly.
+        sub = 8 if axis_size % 1024 == 0 else 1
+        lanes = axis_size // sub
+        if lanes % 4096 == 0:
             block = 4096
-        elif axis_size <= 4096 and axis_size % 128 == 0:
-            block = axis_size
+        elif lanes <= 4096 and lanes % 128 == 0:
+            block = lanes
         else:
             block = 0
         eligible = (
@@ -196,7 +212,7 @@ def make_quad3d_integrator(xla_substeps, dt, n_sub, euler=False, *,
         if eligible:
             out = _pallas_substeps(
                 x_b, f_b, ext_b, m_b, j_b, dt=dt, n_sub=n_sub, euler=euler,
-                g=g, arm_l=arm_l, km_over_kf=km_over_kf, block=block,
+                g=g, arm_l=arm_l, km_over_kf=km_over_kf, block=block, sub=sub,
                 interpret=bool(force_pallas) and platform not in _TPU_PLATFORMS,
             )
         else:
