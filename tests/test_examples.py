@@ -42,3 +42,19 @@ def test_verbose_api_example():
         assert r.returncode == 0, r.stderr[-2000:]
         assert "reset -> obs" in r.stdout
         assert "constraint_values" in r.stdout
+
+
+def test_scenario_rehearsal_example(tmp_path):
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        f"import sys; sys.argv=['scenario_rehearsal.py','--scenario','line',"
+        f"'--out',r'{tmp_path}','--no-video'];"
+        f"exec(open(r'{os.path.join(EXAMPLES, 'scenario_rehearsal.py')}').read())"
+    )
+    r = _run(["-c", code])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "tracked setpoints" in r.stdout
+    # tracking within half a meter on the gentle 'line' scenario
+    import re
+    m = re.search(r"mean err=([\d.]+)", r.stdout)
+    assert m and float(m.group(1)) < 0.5, r.stdout
