@@ -47,3 +47,39 @@ class ThroughputMeter:
 def annotate(name: str):
     """Named region in device traces (jax.profiler.TraceAnnotation)."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def summarize_kernels(trace_dir: str, top: int = 20):
+    """Aggregate per-kernel device time from a ``device_trace`` capture.
+
+    Parses the Perfetto JSON the JAX profiler writes and returns
+    ``[{"name", "total_us", "count"}, ...]`` sorted by total device time —
+    the on-device flame summary used to find the hot kernels (this is how
+    the (1,B)->(8,B/8) Pallas relayout and the goal-gather hotspot were
+    found; see ops/pallas_quad.py).
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+
+    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not files:
+        raise FileNotFoundError(f"no trace under {trace_dir}")
+    with gzip.open(files[-1]) as f:
+        events = json.load(f).get("traceEvents", [])
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    dev = {p for p, n in pids.items() if "TPU" in n or "Device" in n or "GPU" in n}
+    dur, cnt = collections.Counter(), collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and (not dev or e.get("pid") in dev):
+            dur[e["name"]] += e.get("dur", 0)
+            cnt[e["name"]] += 1
+    return [
+        {"name": n, "total_us": d, "count": cnt[n]}
+        for n, d in dur.most_common(top)
+    ]

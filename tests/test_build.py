@@ -41,3 +41,22 @@ def test_make_controller_from_registry():
     lqr = make("lqr", env, q_lqr=[1.0], r_lqr=[0.1])
     a = lqr.select_action(jax.numpy.zeros(4))
     assert a.shape == (1,)
+
+
+def test_profiling_trace_summary(tmp_path):
+    """device_trace + summarize_kernels round-trip (aux tracing subsystem)."""
+    import jax
+    import jax.numpy as jnp
+
+    from safe_control_gym_tpu.utils.profiling import device_trace, summarize_kernels
+
+    @jax.jit
+    def f(x):
+        return jnp.sin(x) @ jnp.cos(x.T)
+
+    x = jnp.ones((128, 128))
+    f(x).block_until_ready()
+    with device_trace(str(tmp_path)):
+        f(x).block_until_ready()
+    rows = summarize_kernels(str(tmp_path), top=5)
+    assert rows and all({"name", "total_us", "count"} <= set(r) for r in rows)
