@@ -70,15 +70,19 @@ def build():
 
 def main():
     run, carry = build()
-    # Warmup / compile.
+    # Warmup / compile (twice: first output's shardings retrace once).
     carry = run(carry)
-    jax.block_until_ready(carry.obs)
-    # Timed.
+    jax.device_get(carry.obs)
+    carry = run(carry)
+    jax.device_get(carry.obs)
+    # Timed.  device_get is the completion barrier: on tunneled backends
+    # block_until_ready can return before remote execution finishes, which
+    # overstates throughput; materializing the result cannot.
     iters = 8
     t0 = time.perf_counter()
     for _ in range(iters):
         carry = run(carry)
-    jax.block_until_ready(carry.obs)
+    jax.device_get(carry.obs)
     dt = time.perf_counter() - t0
     steps_per_sec = iters * STEPS_PER_CALL * B / dt
     print(
