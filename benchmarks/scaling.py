@@ -9,6 +9,11 @@ machine it uses the virtual-device override to validate the sharded program
 Usage: python benchmarks/scaling.py [--envs-per-device 1024] [--steps 256]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time
