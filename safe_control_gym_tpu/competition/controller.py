@@ -45,7 +45,8 @@ class Controller:
     """
 
     def __init__(self, initial_obs, initial_info, use_firmware: bool = True,
-                 use_mpcc: bool = False, verbose: bool = False):
+                 use_mpcc: bool = False, verbose: bool = False,
+                 forced_conservative: bool = True):
         self.CTRL_FREQ = initial_info["ctrl_freq"]
         self.CTRL_TIMESTEP = initial_info["ctrl_timestep"]
         self.initial_obs = np.asarray(initial_obs)
@@ -59,8 +60,26 @@ class Controller:
         heights = {0: gate_dims.get("tall", {}).get("height", 1.0),
                    1: gate_dims.get("low", {}).get("height", 0.525)}
 
-        start = np.array([self.initial_obs[0], self.initial_obs[2], 1.0])
+        # Take off toward a point pulled inside the arena's constraint box
+        # (|x|,|y| <= 3 in the competition levels): randomized spawns can sit
+        # ~3 cm from the kill boundary with up to 0.1 rad of initial tilt —
+        # climbing straight up drifts over the line before attitude settles
+        # (done_on_violation ends the episode).  Pulling the takeoff/plan
+        # start 15 cm inward makes the first commanded motion point away
+        # from the boundary.
+        ARENA, INSET = 3.0, 0.15
+        start = np.array([
+            np.clip(self.initial_obs[0], -(ARENA - INSET), ARENA - INSET),
+            np.clip(self.initial_obs[2], -(ARENA - INSET), ARENA - INSET),
+            1.0,
+        ])
         goal_pos = np.array([goal[0], goal[2], goal[4]]) if len(goal) >= 6 else start
+        # Planning inputs kept for per-episode re-planning under risk advice
+        # (reference ek_controller_impl.py:77-92 flight-plan cache).
+        self._plan_inputs = dict(
+            start=start, goal_pos=goal_pos, heights=heights,
+            obstacles=list(obstacles), use_mpcc=use_mpcc,
+        )
         gate_poses = [
             (np.array([g[0], g[1], heights[int(g[6])]]), float(g[5])) for g in gates
         ]
@@ -137,6 +156,9 @@ class Controller:
                 )
         stages += [StageActionLand(self.CTRL_FREQ), StageActionFinished()]
         self.sequencer = StageSequencer(stages)
+        # Flight-plan cache keyed by the gate tuple actually planned against
+        # (reference ek_controller_impl.py:73-92).
+        self._plan_cache = {}
 
         # cmdSimOnly support (software PID path, edit_this.py cmdSimOnly).
         self._act_bounds = initial_info.get("physical_action_bounds")
@@ -151,9 +173,52 @@ class Controller:
         # risk advice, and gate-pose correction tracking.  Forced conservative
         # matches the reference's shipped configuration (:57).
         self.rate_estimator = RateEstimator(self.CTRL_TIMESTEP)
-        self.risk_adviser = RiskAdviser(forced_conservative_mode=True)
+        self.risk_adviser = RiskAdviser(forced_conservative_mode=forced_conservative)
         self.gate_corrector = GateCorrector(gate_heights=heights)
         self._last_task_completed = False
+
+    def replan(self, gates):
+        """Rebuild trajectory + stage sequence against measured gate poses.
+
+        ``gates`` rows are (x, y, z, r, p, yaw, type) env-config tuples.  Used
+        by the risk adviser's RECKLESS branch (reference
+        ek_controller_impl.py:119-127: re-configure against the most likely
+        gate poses measured in earlier episodes).
+        """
+        key = tuple(tuple(np.round(np.asarray(g, float), 4)) for g in gates)
+        if key in self._plan_cache:
+            (self.trajectory, self.flight_traj, self.sequencer,
+             self._gate_centers, self._ref_t) = self._plan_cache[key]
+            self.sequencer.reset()
+            return
+        pi = self._plan_inputs
+        fresh = Controller(
+            self.initial_obs,
+            {
+                "ctrl_freq": self.CTRL_FREQ,
+                "ctrl_timestep": self.CTRL_TIMESTEP,
+                "nominal_gates_pos_and_type": list(gates),
+                "nominal_obstacles_pos": pi["obstacles"],
+                "x_reference": np.asarray(
+                    [pi["goal_pos"][0], 0, pi["goal_pos"][1], 0, pi["goal_pos"][2], 0]
+                ),
+                "gate_dimensions": {
+                    "tall": {"shape": "square", "height": pi["heights"][0]},
+                    "low": {"shape": "square", "height": pi["heights"][1]},
+                },
+            },
+            use_firmware=self.use_firmware,
+            use_mpcc=pi["use_mpcc"],
+        )
+        self.trajectory = fresh.trajectory
+        self.flight_traj = fresh.flight_traj
+        self.sequencer = fresh.sequencer
+        self._gate_centers = fresh._gate_centers
+        self._ref_t = fresh._ref_t
+        self._plan_cache[key] = (
+            self.trajectory, self.flight_traj, self.sequencer,
+            self._gate_centers, self._ref_t,
+        )
 
     # -- firmware command path (edit_this.py cmdFirmware) -----------------------
     def cmdFirmware(self, time_s, obs, reward=None, done=None, info=None):
@@ -245,7 +310,14 @@ class Controller:
         self._last_task_completed = False
         self.gate_corrector.reset()
         self.rate_estimator.reset()
-        self.sequencer.reset()
+        # Pre-episode risk advice (reference ek_controller_impl.py:113-127):
+        # RECKLESS -> re-plan against the gate poses measured in episode 1.
+        profile, hint = self.risk_adviser.episode_advice()
+        if hint:
+            gates = [hint[k] for k in sorted(hint)]
+            self.replan(gates)
+        else:
+            self.sequencer.reset()
         self._pid_state = PIDState.create()
 
     def reset(self):

@@ -78,15 +78,29 @@ def run(
         reset_fn = jax.jit(env.reset)
 
     episode_len = level_config.get("episode_len_sec", env.episode_len_sec)
+    # reseed_on_reset=True (levels 0-2) re-seeds to the SAME seed each
+    # episode, so the randomized course is static across episodes; level 3
+    # sets it False and the poses drift (reference level*.yaml:17-18,
+    # benchmark_env.py before_reset).  The RiskAdviser exploits exactly this.
+    base_seed = int(level_config.get("seed", 1337))
+    reseed = bool(level_config.get("reseed_on_reset", True))
     for ep in range(num_episodes):
+        ep_seed = base_seed if reseed else base_seed + ep
         t_start = time.time()
         if use_firmware:
-            obs, _ = wrapper.reset(seed=ep)
+            obs, _ = wrapper.reset(seed=ep_seed)
         else:
-            env_state, obs, _ = reset_fn(jax.random.key(ep))
+            env_state, obs, _ = reset_fn(jax.random.key(ep_seed))
             obs = np.asarray(obs)
         info = _reset_info(env, obs, ctrl_freq)
-        ctrl = controller_cls(obs, info, use_firmware=use_firmware, use_mpcc=use_mpcc, verbose=verbose)
+        if ep == 0:
+            # One controller for the whole run (reference getting_started.py:93
+            # builds it once): cross-episode learning — gate corrections,
+            # risk advice, flight-plan cache — must survive episode resets.
+            ctrl = controller_cls(
+                obs, info, use_firmware=use_firmware, use_mpcc=use_mpcc,
+                verbose=verbose,
+            )
 
         cum_reward = 0.0
         collisions = 0

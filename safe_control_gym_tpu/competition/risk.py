@@ -153,7 +153,10 @@ class RateEstimator:
 
         vel = (pos - self._prev_pos) / self.dt
 
-        euler_rates = (rpy - self._prev_rpy) / self.dt
+        # Wrap angle differences to (-pi, pi]: a roll crossing +/-pi must not
+        # read as a ~2*pi/dt rate spike.
+        dang = np.mod(rpy - self._prev_rpy + np.pi, 2 * np.pi) - np.pi
+        euler_rates = dang / self.dt
         euler_rates[2] = 0.0
         a = self.IIR_ALPHA
         self._euler_rates_filt = a * self._euler_rates_filt + (1.0 - a) * euler_rates
@@ -232,6 +235,11 @@ class GateCorrector:
     def _location(self, gate_id) -> np.ndarray:
         if gate_id in self.nominal:
             return np.asarray(self.nominal[gate_id][:3], dtype=float)
+        if gate_id in self.exact:
+            # First sighting was already in range (spawn next to the gate):
+            # no nominal pose exists, but the exact one is authoritative —
+            # never report FAR_AWAY alongside fuzzy=False.
+            return np.asarray(self.exact[gate_id][:3], dtype=float)
         return np.full(3, FAR_AWAY)
 
     def _correction(self, gate_id) -> np.ndarray:

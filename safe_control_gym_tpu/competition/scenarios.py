@@ -65,10 +65,13 @@ def _waypoint_scenario(name, waypoints, deg, length):
 
 
 def _parametric_scenario(name, fx, fy, fz, length, command_mode="full_state"):
-    # Parametric scenarios sample at a fixed 30 Hz step clock regardless of
-    # ctrl_freq (reference torus edit_this.py:143-145).
+    # The reference curves are parameterized on a 30 Hz step clock (torus
+    # edit_this.py:143-145, sampled at exactly 30 Hz).  One sample is emitted
+    # per control tick, so at other ctrl_freqs the step argument is rescaled
+    # to keep the flown trajectory (shape AND duration) identical.
     def gen(ctrl_freq):
-        steps = np.arange(int(length * 30), dtype=float)
+        n = int(length * ctrl_freq)
+        steps = np.arange(n, dtype=float) * (30.0 / ctrl_freq)
         zeros = np.zeros_like(steps)
         return (np.asarray(fx(steps), dtype=float) + zeros,
                 np.asarray(fy(steps), dtype=float) + zeros,
@@ -243,7 +246,7 @@ class ScenarioController:
             if self.feedthrough_pitch_rate:
                 rpy_rates = np.array([0.0, self.ref_pitch[step], 0.0])
             return Command.FULLSTATE, [pos, vel, np.zeros(3), 0.0, rpy_rates]
-        if track_end < it < stop_it:
+        if track_end <= it < stop_it:
             pos = np.array([self.ref_x[-1], self.ref_y[-1], self.ref_z[-1]])
             return Command.FULLSTATE, [pos, np.zeros(3), np.zeros(3), 0.0, np.zeros(3)]
         if it == stop_it:

@@ -341,8 +341,18 @@ def make_cartpole(config: CartPoleConfig = CartPoleConfig()) -> FnEnv:
         for _ in range(n_sub):
             x = rk4_step(fc, x, force, pyb_dt)
 
+        # Advance brownian walks (mirrors quadrotor.py's evolve block).
+        sched = state.dist_sched
+        if any(p is not None and p.has_brownian for p in dist_progs.values()):
+            k_walk = jax.random.fold_in(k_step, 3)
+            sched = {
+                mode: (prog.evolve(sched[mode], jax.random.fold_in(k_walk, i))
+                       if prog is not None else sched[mode])
+                for i, (mode, prog) in enumerate(dist_progs.items())
+            }
+
         new_state = state.replace(
-            x=x, key=key, adv_force=jnp.zeros((1,), dtype)
+            x=x, key=key, dist_sched=sched, adv_force=jnp.zeros((1,), dtype)
         )
 
         # Reward (pre-increment counter indexes the goal, quadrotor.py:905).

@@ -516,14 +516,6 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
     goal_tol = float(task_info["stabilization_goal_tolerance"])
     drag_coeff = jnp.asarray(DRAG_COEFF, dtype)
 
-    def _uniform_add(key, nominal, info, name):
-        if name not in info:
-            return jnp.asarray(nominal, dtype)
-        lo, hi = float(info[name]["low"]), float(info[name]["high"])
-        return jnp.asarray(nominal, dtype) + jax.random.uniform(
-            key, (), dtype, minval=lo, maxval=hi
-        )
-
     def _extend_obs(obs, next_step):
         if mul == 1:
             return obs

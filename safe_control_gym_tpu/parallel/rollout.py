@@ -11,13 +11,12 @@ this is the framework's counterpart of SubprocVecEnv's gather-on-parent
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import struct
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 
 class EpisodeStats(struct.PyTreeNode):

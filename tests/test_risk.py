@@ -183,3 +183,63 @@ def test_scenario_controller_staging():
     assert Command.NOTIFYSETPOINTSTOP in saw
     assert Command.LAND in saw
     assert Command.FINISHED in saw
+
+
+def test_controller_replans_on_reckless_advice():
+    """Episode 3 on a static-offset course: the adviser turns RECKLESS and the
+    controller re-plans against the measured gate poses (reference
+    ek_controller_impl.py:119-127)."""
+    from safe_control_gym_tpu.competition.controller import Controller
+
+    info = {
+        "ctrl_freq": 25,
+        "ctrl_timestep": 1 / 25,
+        "nominal_gates_pos_and_type": [
+            [0.5, -1.0, 0, 0, 0, 0.0, 0],
+            [1.5, 0.0, 0, 0, 0, 1.2, 1],
+        ],
+        "nominal_obstacles_pos": [],
+        "x_reference": np.asarray([2.0, 0, 1.0, 0, 1.0, 0]),
+        "gate_dimensions": {"tall": {"shape": "square", "height": 1.0},
+                            "low": {"shape": "square", "height": 0.525}},
+    }
+    obs0 = np.zeros(12)
+    ctrl = Controller(obs0, info, use_firmware=True, forced_conservative=False)
+    traj0 = ctrl.flight_traj
+
+    # Simulate two completed episodes whose measured (exact) gate poses are
+    # offset from nominal but static between episodes (level-2 conditions).
+    nominal = {0: (0.5, -1.0, 1.0, 0, 0, 0.0, 0), 1: (1.5, 0.0, 0.525, 0, 0, 1.2, 1)}
+    exact = {0: (0.62, -0.9, 1.0, 0, 0, 0.0, 0), 1: (1.38, 0.08, 0.525, 0, 0, 1.2, 1)}
+    for _ in range(2):
+        ctrl.gate_corrector.nominal = dict(nominal)
+        ctrl.gate_corrector.exact = dict(exact)
+        ctrl._last_task_completed = True
+        ctrl.interEpisodeLearn()
+    # After 2 episodes the adviser advice for episode 3 is RECKLESS with the
+    # measured map, and interEpisodeLearn already re-planned against it.
+    from safe_control_gym_tpu.competition.risk import RiskProfile
+
+    profile, hint = ctrl.risk_adviser.episode_advice()
+    assert profile is RiskProfile.RECKLESS
+    assert set(hint) == {0, 1}
+    assert ctrl.flight_traj is not traj0
+    assert len(ctrl._plan_cache) == 1
+    # The re-planned path threads the *measured* gate aperture: it passes
+    # near the exact gate-0 center, not the nominal one.
+    ts, ps, _ = ctrl.flight_traj.sample(400)
+    d_exact = np.linalg.norm(ps[:, :3] - np.array([0.62, -0.9, 1.0]), axis=-1).min()
+    assert d_exact < 0.15, d_exact
+
+
+def test_parametric_scenario_freq_invariant():
+    """The flown curve must be identical in *time* regardless of ctrl_freq:
+    sample k at freq f corresponds to t = k/f, and positions at equal t match."""
+    sc = make_scenario("lissajous")
+    r30 = sc.generate(30)
+    r60 = sc.generate(60)
+    assert abs(len(r60[0]) - 2 * len(r30[0])) <= 2  # float-truncation slack
+    k = min(len(r30[0]), len(r60[0]) // 2)
+    # Every 30 Hz sample has a 60 Hz twin at the same flight time.
+    for a30, a60 in zip(r30[:3], r60[:3]):
+        np.testing.assert_allclose(a30[:k], a60[::2][:k], rtol=1e-12)
