@@ -718,7 +718,10 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
     ):
         from safe_control_gym_tpu.ops.pallas_quad import make_quad3d_integrator
 
-        def _xla_substeps(x, forces, ext_f3, mass, j_diag):
+        def _xla_substeps(x, thrust, ext_f3, mass, j_diag):
+            # Identical chain to the unfused path: actuation pipeline then
+            # the substep loop (the kernel fuses both; the primal must match).
+            forces = pwm2rpm(cmd2pwm(thrust, dtype)) ** 2 * KF
             fc_l = lambda xx, uu: _fc(xx, uu, mass, j_diag, ext_f3)
             if physics == "dyn":
                 for _ in range(n_sub):
@@ -730,7 +733,7 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
 
         fused_integrator = make_quad3d_integrator(
             _xla_substeps, pyb_dt, n_sub, euler=(physics == "dyn"),
-            force_pallas=cfg.use_pallas,
+            actuation=True, force_pallas=cfg.use_pallas,
         )
 
     def step(state: QuadState, action):
@@ -755,8 +758,9 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
             )
         if cfg.adversary_disturbance == "action":
             thrust = thrust + state.adv_act
-        rpm = pwm2rpm(cmd2pwm(thrust, dtype))
-        forces = (rpm**2) * KF
+        if fused_integrator is None:
+            rpm = pwm2rpm(cmd2pwm(thrust, dtype))
+            forces = (rpm**2) * KF
 
         # Dynamics disturbance force (quadrotor.py:526-548).
         ext = jnp.zeros((dyn_dim,), dtype)
@@ -777,7 +781,8 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
 
         x = state.x
         if fused_integrator is not None:
-            x = fused_integrator(x, forces, ext_f3, state.mass, state.j_diag)
+            # Actuation pipeline runs inside the fused kernel (thrust in).
+            x = fused_integrator(x, thrust, ext_f3, state.mass, state.j_diag)
         else:
             fc = lambda x, u: _fc(x, u, state.mass, state.j_diag, ext_f3)
             if physics == "dyn":

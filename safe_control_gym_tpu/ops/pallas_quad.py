@@ -35,7 +35,12 @@ from jax.experimental.pallas import tpu as pltpu
 # Matches envs/quadrotor.py constants (reference assets/cf2x.urdf params).
 _GRAVITY = 9.8
 _ARM_L = 0.0397
-_KM_OVER_KF = 7.94e-12 / 3.16e-10
+_KF = 3.16e-10
+_KM_OVER_KF = 7.94e-12 / _KF
+_PWM2RPM_SCALE = 0.2685
+_PWM2RPM_CONST = 4070.3
+_MIN_PWM = 20000.0
+_MAX_PWM = 65535.0
 
 _NX = 12  # [x, vx, y, vy, z, vz, phi, theta, psi, p, q, r]
 _TPU_PLATFORMS = ("tpu", "axon")
@@ -90,13 +95,26 @@ def _axpy(x, a, k):
     return tuple(xi + a * ki for xi, ki in zip(x, k))
 
 
+def _actuate(t):
+    """Per-motor thrust command -> realized force: the cmd2pwm -> pwm2rpm ->
+    rpm^2*KF pipeline (envs/quadrotor.py:229-244, reference
+    quadrotor_utils.py:21-67) fused into the kernel so the env step passes
+    raw thrusts and saves the separate preprocess kernels."""
+    pwm = (jnp.sqrt(jnp.maximum(t, 0.0) / _KF) - _PWM2RPM_CONST) / _PWM2RPM_SCALE
+    pwm = jnp.clip(pwm, _MIN_PWM, _MAX_PWM)
+    rpm = _PWM2RPM_SCALE * pwm + _PWM2RPM_CONST
+    return rpm * rpm * _KF
+
+
 def _substeps_kernel(x_ref, f_ref, ext_ref, m_ref, j_ref, o_ref, *,
-                     dt, n_sub, euler, g, arm_l, km_over_kf):
+                     dt, n_sub, euler, g, arm_l, km_over_kf, actuation):
     # refs are (rows, SUB, LANES); component i is the (SUB, LANES) tile ref[i].
     x = x_ref[:]
     s = tuple(x[i] for i in range(_NX))
     fr = f_ref[:]
     f = tuple(fr[i] for i in range(4))
+    if actuation:
+        f = tuple(_actuate(fi) for fi in f)
     er = ext_ref[:]
     ext = tuple(er[i] for i in range(3))
     minv = 1.0 / m_ref[0]
@@ -121,7 +139,8 @@ def _substeps_kernel(x_ref, f_ref, ext_ref, m_ref, j_ref, o_ref, *,
 
 
 def _pallas_substeps(x_b, f_b, ext_b, m_b, j_b, *, dt, n_sub, euler,
-                     g, arm_l, km_over_kf, block, sub, interpret=False):
+                     g, arm_l, km_over_kf, block, sub, actuation=False,
+                     interpret=False):
     """(B, nx) batched fused substeps via one Pallas program.
 
     Components are laid out as (rows, sub, B/sub): sublane dim ``sub`` (8 for
@@ -134,7 +153,7 @@ def _pallas_substeps(x_b, f_b, ext_b, m_b, j_b, *, dt, n_sub, euler,
     grid = lanes // block
     kern = functools.partial(
         _substeps_kernel, dt=dt, n_sub=n_sub, euler=euler, g=g,
-        arm_l=arm_l, km_over_kf=km_over_kf,
+        arm_l=arm_l, km_over_kf=km_over_kf, actuation=actuation,
     )
     row_spec = lambda rows: pl.BlockSpec(
         (rows, sub, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
@@ -169,7 +188,7 @@ def _pallas_substeps(x_b, f_b, ext_b, m_b, j_b, *, dt, n_sub, euler,
 
 def make_quad3d_integrator(xla_substeps, dt, n_sub, euler=False, *,
                            g=_GRAVITY, arm_l=_ARM_L, km_over_kf=_KM_OVER_KF,
-                           force_pallas=None):
+                           actuation=False, force_pallas=None):
     """Build the substep integrator with a fused-TPU batched fast path.
 
     ``xla_substeps(x, forces, ext, mass, j_diag) -> x'`` is the unbatched
@@ -177,6 +196,9 @@ def make_quad3d_integrator(xla_substeps, dt, n_sub, euler=False, *,
     primal, so anything that never vmaps — or runs on CPU — is untouched.
     ``force_pallas``: None = auto (TPU + eligible shapes), False = never,
     True = use the kernel in interpret mode even off-TPU (tests).
+    ``actuation=True``: the second argument is raw per-motor thrust commands
+    and the cmd2pwm/pwm2rpm/force pipeline runs inside the kernel (the
+    primal must then apply the same pipeline itself).
     """
 
     @jax.custom_batching.custom_vmap
@@ -213,6 +235,7 @@ def make_quad3d_integrator(xla_substeps, dt, n_sub, euler=False, *,
             out = _pallas_substeps(
                 x_b, f_b, ext_b, m_b, j_b, dt=dt, n_sub=n_sub, euler=euler,
                 g=g, arm_l=arm_l, km_over_kf=km_over_kf, block=block, sub=sub,
+                actuation=actuation,
                 interpret=bool(force_pallas) and platform not in _TPU_PLATFORMS,
             )
         else:
