@@ -10,6 +10,7 @@ Returns an attribute-accessible dict (munch equivalent).
 from __future__ import annotations
 
 import argparse
+import ast
 import os
 from typing import Any, Optional
 
@@ -91,7 +92,15 @@ class ConfigFactory:
             config = merge_dict(config, config_override)
         for kv in cli.kv_overrides:
             k, v = kv.split("=", 1)
-            deep_set(config, k.strip(), v.strip())
+            v = v.strip()
+            try:
+                # Parse literals ('1e-3' -> float, 'True' -> bool, lists...)
+                # as the reference does (configuration.py:86-90, via eval;
+                # literal_eval keeps it data-only).
+                v = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                pass  # plain string
+            deep_set(config, k.strip(), v)
         return AttrDict(config)
 
 

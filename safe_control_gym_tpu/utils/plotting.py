@@ -63,11 +63,13 @@ def plot_from_logs(log_dirs, metric: str, out_path: str | None = None, window: i
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    # FileLogger flattens '/' in metric names to '_' on disk; accept either.
+    key = metric.replace("/", "_")
     runs = []
     for d in log_dirs:
         data = load_from_logs(d)
-        if metric in data:
-            runs.append(window_func(*data[metric], window=window))
+        if key in data:
+            runs.append(window_func(*data[key], window=window))
     if not runs:
         raise ValueError(f"metric {metric!r} not found in any of {log_dirs}")
     grid, ys = interpolate_runs(runs)
