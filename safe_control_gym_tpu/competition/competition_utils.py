@@ -99,3 +99,99 @@ def plot_trajectory_3d(points, out_path: str):
     ax.set_zlabel("z [m]")
     fig.savefig(out_path, dpi=120, bbox_inches="tight")
     plt.close(fig)
+
+
+def plot_trajectory(t_scaled, waypoints, ref_x, ref_y, ref_z,
+                    out_path=None, show=False):
+    """Per-axis + 3D reference-trajectory plots (reference
+    competition_utils.py:284-311).  Headless-first: saves to ``out_path``
+    (suffixes _axes/_3d) instead of blocking GUI windows; ``show=True``
+    restores the reference's interactive behavior."""
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    import numpy as np
+
+    waypoints = np.asarray(waypoints)
+    fig, axs = plt.subplots(3, 1, sharex=True)
+    for ax, ref, lbl in zip(axs, (ref_x, ref_y, ref_z), ("x (m)", "y (m)", "z (m)")):
+        ax.plot(t_scaled, ref)
+        ax.set_ylabel(lbl)
+    paths = []
+    if out_path:
+        p1 = out_path.replace(".png", "") + "_axes.png"
+        fig.savefig(p1)
+        paths.append(p1)
+    if show:
+        plt.show(block=False)
+        plt.pause(2)
+    plt.close(fig)
+
+    fig = plt.figure()
+    ax = fig.add_subplot(projection="3d")
+    ax.plot(ref_x, ref_y, ref_z)
+    if waypoints.size:
+        ax.scatter(waypoints[:, 0], waypoints[:, 1], waypoints[:, 2])
+    if out_path:
+        p2 = out_path.replace(".png", "") + "_3d.png"
+        fig.savefig(p2)
+        paths.append(p2)
+    if show:
+        plt.show(block=False)
+        plt.pause(2)
+    plt.close(fig)
+    return paths
+
+
+def draw_trajectory(initial_info, waypoints, ref_x, ref_y, ref_z,
+                    out_path=None):
+    """Reference competition_utils.py:313-337 draws the plan into PyBullet's
+    GUI; without a GUI this renders the plan over the maze to an image via
+    utils/rendering.py (waypoint markers + reference line)."""
+    import numpy as np
+
+    from safe_control_gym_tpu.utils.rendering import render_quadrotor
+
+    traj = np.stack([ref_x, ref_y, ref_z], axis=-1)
+    x0 = np.zeros(12)
+    x0[0], x0[2], x0[4] = ref_x[0], ref_y[0], ref_z[0]
+    frame = render_quadrotor(
+        x0,
+        gates=initial_info.get("nominal_gates_pos_and_type"),
+        obstacles=initial_info.get("nominal_obstacles_pos"),
+        trajectory=traj,
+    )
+    if out_path:
+        from PIL import Image
+
+        Image.fromarray(frame).save(out_path)
+    return frame
+
+
+def thrusts(controller, ctrl_timestep, kf, obs, target, target_v):
+    """PID -> per-motor thrusts for cmdSimOnly users (reference
+    competition_utils.py:338-356).  ``controller`` carries a PIDState in
+    ``controller.pid_state`` (created on first use)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from safe_control_gym_tpu.controllers.pid import PIDState, pid_control
+
+    state = getattr(controller, "pid_state", None)
+    if state is None:
+        state = PIDState.create()
+    obs = np.asarray(obs)
+    rpm, state, _, _ = pid_control(
+        state,
+        ctrl_timestep,
+        jnp.asarray([obs[0], obs[2], obs[4]], jnp.float32),
+        jnp.asarray(obs[6:9], jnp.float32),
+        jnp.asarray([obs[1], obs[3], obs[5]], jnp.float32),
+        jnp.asarray(target, jnp.float32),
+        target_vel=jnp.asarray(target_v, jnp.float32),
+    )
+    controller.pid_state = state
+    return kf * np.asarray(rpm, np.float64) ** 2

@@ -102,3 +102,33 @@ def test_mpcc_solver_progresses():
         obs = x_next[:12]
     assert theta > 0.05, f"no progress: theta={theta}"
     assert np.isfinite(x_next).all()
+
+
+def test_competition_utils_plot_draw_thrusts(tmp_path):
+    """plot_trajectory / draw_trajectory / thrusts surface parity
+    (reference competition_utils.py:284-356)."""
+    import types
+
+    from safe_control_gym_tpu.competition.competition_utils import (
+        draw_trajectory,
+        plot_trajectory,
+        thrusts,
+    )
+
+    t = np.linspace(0, 4, 50)
+    rx, ry, rz = np.sin(t), np.cos(t), 1 + 0.1 * t
+    wps = np.stack([rx[::10], ry[::10], rz[::10]], -1)
+    paths = plot_trajectory(t, wps, rx, ry, rz, out_path=str(tmp_path / "traj.png"))
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+    info = {"nominal_gates_pos_and_type": [[0.5, -1.0, 0, 0, 0, 0.8, 0]],
+            "nominal_obstacles_pos": [[1.5, 0, 0, 0, 0, 0]]}
+    frame = draw_trajectory(info, wps, rx, ry, rz, out_path=str(tmp_path / "plan.png"))
+    assert frame.shape[-1] == 3 and os.path.exists(tmp_path / "plan.png")
+
+    ctrl = types.SimpleNamespace()
+    obs = np.zeros(12)
+    obs[4] = 1.0
+    f = thrusts(ctrl, 1 / 30, 3.16e-10, obs, np.array([0, 0, 1.2]), np.zeros(3))
+    assert f.shape == (4,) and np.all(f > 0)
+    assert hasattr(ctrl, "pid_state")  # state carried for the next call
