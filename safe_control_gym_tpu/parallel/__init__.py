@@ -12,6 +12,7 @@ from safe_control_gym_tpu.parallel.vector import VecEnv, make_vec_env
 from safe_control_gym_tpu.parallel.rollout import rollout, RolloutCarry, EpisodeStats
 from safe_control_gym_tpu.parallel.mesh import make_mesh, shard_batch
 from safe_control_gym_tpu.parallel.episode_stats import RecordEpisodeStatistics
+from safe_control_gym_tpu.parallel.fast_env import FastQuadRollout
 
 __all__ = [
     "VecEnv",
@@ -22,4 +23,5 @@ __all__ = [
     "make_mesh",
     "shard_batch",
     "RecordEpisodeStatistics",
+    "FastQuadRollout",
 ]

@@ -1,0 +1,448 @@
+"""Whole-rollout Pallas engine: N env steps per single kernel dispatch.
+
+The general engine (envs/quadrotor.py + parallel/vector.py) compiles each
+control step to ~25 XLA kernels; at B=4096 the step is dispatch-bound
+(~21 us device busy vs ~27 us of launch gaps — docs/PERF.md).  This module
+is the speed-of-light variant for the benchmark-class configuration: the
+ENTIRE rollout — actuation pipeline, RK4 substeps, trajectory reference,
+reward, done logic, constraint-violation counting, masked auto-reset with
+in-kernel PRNG, and episode statistics — runs as one `lax.fori_loop` inside
+one Pallas program, with all state resident in VMEM for the whole call.
+
+Scope (checked by ``supports``): 3D quadrotor, `pyb`/`dyn` physics without
+aero modes, rl_reward cost, stabilization or figure8/circle trajectory
+tracking (the reference generators are closed-form — benchmark.py:124-139 —
+so the kernel evaluates them analytically instead of gathering from a
+table), box out-of-bound done, optional impulse dynamics disturbance,
+default-constraint violation counting.  Everything else uses the general
+engine.
+
+Randomization semantics match the general engine's *distributions*
+(uniform-additive init state / inertia, uniform impulse offsets) but draw
+from the TPU core PRNG, so trajectories are reproducible per seed within
+this engine, not bitwise-equal to the general engine's threefry stream.
+Step *dynamics* are validated exactly against the general engine
+(tests/test_fast_env.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from safe_control_gym_tpu.envs.benchmark import Task
+from safe_control_gym_tpu.ops.pallas_quad import _actuate, _axpy, _fc_rows
+
+# State-row layout (each row is one (sub, lanes) tile).
+_X0, _NX = 0, 12
+_R_MASS = 12
+_R_J = 13  # 13,14,15
+_R_STEP = 16
+_R_OFFSET = 17
+_R_STATS = 18  # ep_ret, ep_len, ep_viol, done_cnt, sum_ret, sum_len, sum_viol
+_NROWS = 25
+
+_STATS_KEYS = ("ep_return", "ep_length", "ep_violations", "done_count",
+               "sum_return", "sum_length", "sum_violations")
+
+
+def supports(cfg) -> bool:
+    """True if the config is in this engine's validated envelope."""
+    from safe_control_gym_tpu.envs.quadrotor import QuadType
+
+    ti = cfg.task_info or {}
+    dist = cfg.disturbances or {}
+    dyn = dist.get("dynamics")
+    impulse_ok = dyn is None or (
+        len(dyn) == 1 and dyn[0].get("disturbance_func") == "impulse"
+        and "mask" not in dyn[0]
+    )
+    return (
+        int(cfg.quad_type) == QuadType.THREE_D
+        and cfg.physics in ("pyb", "dyn")
+        and cfg.cost == "rl_reward"
+        and (cfg.task == "stabilization"
+             or (cfg.task == "traj_tracking"
+                 and ti.get("trajectory_type", "circle") in ("figure8", "circle")))
+        and int(cfg.obs_goal_horizon) == 0
+        and not dist.get("observation") and not dist.get("action")
+        and impulse_ok
+        and cfg.adversary_disturbance is None
+        and not (cfg.gates or cfg.obstacles)
+        and not cfg.done_on_violation
+        and not cfg.use_constraint_penalty
+    )
+
+
+def _bits_to_unit(bits):
+    """uint32 random bits -> f32 uniform in [0, 1).
+
+    Mosaic has no uint32->f32 cast; after the >>8 the top bits are zero, so
+    reinterpreting as int32 is value-preserving and int32->f32 is supported.
+    """
+    i32 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return i32.astype(jnp.float32) * jnp.float32(2.0**-24)
+
+
+def _rollout_kernel(seed_ref, act_ref, st_ref, out_ref, *, p):
+    """p: dict of static parameters (python floats/ints/tuples)."""
+    if p["use_prng"]:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    rows = st_ref[:]
+    act = act_ref[:]
+    # Constant-per-call action: clip + actuation pipeline once.
+    thr = tuple(
+        jnp.clip(act[i], p["a_low"], p["a_high"]) for i in range(4)
+    )
+    forces = tuple(_actuate(t) for t in thr)
+    act_cost = sum((t - p["u_goal"]) ** 2 for t in thr) * p["rew_act_w"]
+
+    carry = tuple(rows[i] for i in range(_NROWS))
+
+    def fc(s, f, ext, minv, jd):
+        return _fc_rows(s, f, ext, minv, jd, g=p["g"], arm_l=p["arm_l"],
+                        km_over_kf=p["km_over_kf"])
+
+    def body(it, carry):
+        s = carry[:_NX]
+        mass, jd = carry[_R_MASS], carry[_R_J:_R_J + 3]
+        step_f = carry[_R_STEP]
+        offset = carry[_R_OFFSET]
+        stats = carry[_R_STATS:]
+
+        # -- impulse dynamics disturbance (envs/disturbances.py apply) ----
+        if p["impulse"] is not None:
+            mag, dur, decay = p["impulse"]
+            peak = offset + float(int(dur / 2))
+            po = jnp.abs(step_f - peak)
+            dec = jnp.where(
+                po < dur / 2.0,
+                jnp.exp(po * math.log(decay)) if decay < 1.0 else jnp.ones_like(po),
+                jnp.zeros_like(po),
+            )
+            n = jnp.where(step_f >= offset, mag * dec, 0.0)
+            ext = (n, n, n)
+        else:
+            z = jnp.zeros_like(step_f)
+            ext = (z, z, z)
+
+        # -- substeps (same chain as ops/pallas_quad kernel) ---------------
+        minv = 1.0 / mass
+        for _ in range(p["n_sub"]):
+            if p["euler"]:
+                s = _axpy(s, p["dt"], fc(s, forces, ext, minv, jd))
+            else:
+                k1 = fc(s, forces, ext, minv, jd)
+                k2 = fc(_axpy(s, p["dt"] / 2, k1), forces, ext, minv, jd)
+                k3 = fc(_axpy(s, p["dt"] / 2, k2), forces, ext, minv, jd)
+                k4 = fc(_axpy(s, p["dt"], k3), forces, ext, minv, jd)
+                s = tuple(
+                    si + p["dt"] / 6 * (a + 2 * b + 2 * c + d)
+                    for si, a, b, c, d in zip(s, k1, k2, k3, k4)
+                )
+
+        # -- trajectory reference at this env's step: closed-form planar
+        #    curve (benchmark.py:124-139) through the affine plane projection
+        #    (ops/rotations.py transform_trajectory; reference
+        #    transformations.py:107-123 applies the affine map to velocities
+        #    too) --------------------------------------------------------------
+        goal = [None] * _NX
+        if p["task"] == "stab":
+            for k in range(_NX):
+                goal[k] = p["x_goal"][k]
+        else:
+            t = step_f * p["ctrl_dt"]
+            w = p["traj_w"]
+            sw, cw = jnp.sin(w * t), jnp.cos(w * t)
+            sc = p["traj_scale"]
+            if p["traj_type"] == "figure8":
+                a_p, b_p = sc * sw, sc * sw * cw
+                a_v, b_v = sc * w * cw, sc * w * (cw * cw - sw * sw)
+            else:  # circle
+                a_p, b_p = sc * cw, sc * sw
+                a_v, b_v = -sc * w * sw, sc * w * cw
+            zero = jnp.zeros_like(sw)
+            p3 = [zero, zero, zero]
+            v3 = [zero, zero, zero]
+            ia, ib = p["plane_idx"]
+            p3[ia] = a_p + p["plane_off"][0]
+            p3[ib] = b_p + p["plane_off"][1]
+            v3[ia] = a_v
+            v3[ib] = b_v
+            M = p["proj"]  # (3, 4) affine rows
+            for k in range(3):
+                gp = M[k][0] * p3[0] + M[k][1] * p3[1] + M[k][2] * p3[2] + M[k][3]
+                gv = M[k][0] * v3[0] + M[k][1] * v3[1] + M[k][2] * v3[2] + M[k][3]
+                goal[2 * k] = gp
+                goal[2 * k + 1] = gv
+            for k in range(6, _NX):
+                goal[k] = zero
+
+        # -- reward (rl_reward, quadrotor.py:886-915) ----------------------
+        dist = act_cost
+        for k in range(_NX):
+            e = s[k] - goal[k]
+            dist = dist + p["rew_state_w"][k] * e * e
+        rew = jnp.exp(-dist) if p["rew_exp"] else -dist
+
+        # -- done: out-of-bound + time limit -------------------------------
+        new_step = step_f + 1.0
+        done = new_step >= p["max_steps"]
+        viol = None
+        for k in range(_NX):
+            lo, hi = p["s_low"][k], p["s_high"][k]
+            out_k = (s[k] < lo) | (s[k] > hi)
+            viol = out_k if viol is None else (viol | out_k)
+            if p["done_oob"] and p["oob_mask"][k]:
+                done = done | out_k
+        violf = viol.astype(jnp.float32)
+
+        # -- episode stats (parallel/rollout.py EpisodeStats.update) -------
+        donef = done.astype(jnp.float32)
+        ep_ret = stats[0] + rew
+        ep_len = stats[1] + 1.0
+        ep_vio = stats[2] + violf
+        new_stats = (
+            ep_ret * (1.0 - donef),
+            ep_len * (1.0 - donef),
+            ep_vio * (1.0 - donef),
+            stats[3] + donef,
+            stats[4] + donef * ep_ret,
+            stats[5] + donef * ep_len,
+            stats[6] + donef * ep_vio,
+        )
+
+        # -- masked auto-reset: fresh draws from the core PRNG -------------
+        if p["use_prng"]:
+            bits = pltpu.prng_random_bits((17,) + s[0].shape)
+            u = _bits_to_unit(pltpu.bitcast(bits, jnp.uint32))
+        else:
+            # Interpret-mode fallback (TPU PRNG primitives have no CPU
+            # lowering): a cheap trig hash — only reset draws consume it.
+            shp = (17,) + s[0].shape
+            kf = jax.lax.broadcasted_iota(jnp.float32, shp, 0)
+            sf = jax.lax.broadcasted_iota(jnp.float32, shp, 1)
+            lf = jax.lax.broadcasted_iota(jnp.float32, shp, 2)
+            seed_f = seed_ref[0].astype(jnp.float32)
+            h = jnp.sin(kf * 7.91 + sf * 3.77 + lf * 0.613
+                        + it.astype(jnp.float32) * 17.23 + seed_f) * 43758.5453
+            u = h - jnp.floor(h)
+        nm, lo_v, hi_v = p["rand_nominal"], p["rand_lo"], p["rand_hi"]
+        new_x = []
+        for k in range(_NX):
+            drawn = nm[4 + k] + lo_v[4 + k] + u[k] * (hi_v[4 + k] - lo_v[4 + k])
+            new_x.append(jnp.where(done, drawn, s[k]))
+        new_mass = jnp.where(done, nm[0] + lo_v[0] + u[12] * (hi_v[0] - lo_v[0]), mass)
+        new_j = tuple(
+            jnp.where(done, nm[1 + i] + lo_v[1 + i] + u[13 + i] * (hi_v[1 + i] - lo_v[1 + i]), jd[i])
+            for i in range(3)
+        )
+        new_off = jnp.where(done, jnp.floor(u[16] * p["max_steps"]), offset)
+        new_step = jnp.where(done, 0.0, new_step)
+
+        return tuple(new_x) + (new_mass,) + new_j + (new_step, new_off) + new_stats
+
+    carry = jax.lax.fori_loop(0, p["steps"], body, carry)
+    out_ref[:] = jnp.stack(carry, axis=0)
+
+
+class FastQuadRollout:
+    """Host wrapper: packed state + one-dispatch rollout calls."""
+
+    def __init__(self, env, num_envs: int, steps_per_call: int = 256,
+                 sub: int = 8, interpret: bool = False):
+        from safe_control_gym_tpu.envs import quadrotor as Q
+
+        cfg = env.config
+        assert supports(cfg), "config outside the fast-engine envelope"
+        assert num_envs % (sub * 128) == 0, "num_envs must be a multiple of sub*128"
+        self.env = env
+        self.B = num_envs
+        self.sub = sub
+        self.lanes = num_envs // sub
+        self.steps = steps_per_call
+
+        ti = cfg.task_info or {}
+        n_sub = cfg.pyb_freq // cfg.ctrl_freq
+        dist = (cfg.disturbances or {}).get("dynamics")
+        impulse = None
+        if dist:
+            d = dist[0]
+            impulse = (float(d.get("magnitude", 1.0)), float(d.get("duration", 1)),
+                       float(d.get("decay_rate", 1.0)))
+        # Randomization bounds in fast-row order: mass, jx, jy, jz, x0..x11
+        # (same affine form as the general engine's consolidated draw).
+        inertial = Q._DEFAULT_INERTIAL_RAND if cfg.randomized_inertial_prop else {}
+        if cfg.randomized_inertial_prop and cfg.inertial_prop_randomization_info:
+            inertial = cfg.inertial_prop_randomization_info
+        init_rand = Q._DEFAULT_INIT_RAND if cfg.randomized_init else {}
+        if cfg.randomized_init and cfg.init_state_randomization_info:
+            init_rand = cfg.init_state_randomization_info
+        init_state = cfg.init_state if isinstance(cfg.init_state, dict) else {}
+        names = ["M", "Ixx", "Iyy", "Izz"] + list(Q.INIT_LABELS[Q.QuadType.THREE_D])
+        infos = [inertial] * 4 + [init_rand] * 12
+        nominal = [Q.MASS, *Q.J_DIAG] + [
+            float(init_state.get(n, 0.0)) for n in Q.INIT_LABELS[Q.QuadType.THREE_D]
+        ]
+        if cfg.inertial_prop is not None:
+            ip = np.asarray(cfg.inertial_prop, dtype=float).reshape(-1)
+            nominal[0] = float(ip[0])
+            if ip.size >= 4:
+                nominal[1:4] = [float(v) for v in ip[1:4]]
+        lo = [float(i[n]["low"]) if n in i else 0.0 for n, i in zip(names, infos)]
+        hi = [float(i[n]["high"]) if n in i else 0.0 for n, i in zip(names, infos)]
+
+        axes = {"x": 0, "y": 1, "z": 2}
+        if cfg.task == "stabilization":
+            task = "stab"
+            xg = np.asarray(env.x_goal, dtype=np.float32).reshape(-1)
+            x_goal = tuple(float(v) for v in xg)
+            plane_idx, plane_off = (0, 1), (0.0, 0.0)
+            traj_type, traj_w, traj_scale = "none", 0.0, 0.0
+            proj = tuple((1.0 if i == j else 0.0,) * 1 and tuple(
+                1.0 if i == j else 0.0 for j in range(4)) for i in range(3))
+        else:
+            task = "traj"
+            x_goal = tuple([0.0] * 12)
+            plane = ti.get("trajectory_plane", "xy")
+            plane_idx = (axes[plane[0]], axes[plane[1]])
+            off = ti.get("trajectory_position_offset", (0.0, 0.0))
+            plane_off = (float(off[0]), float(off[1]))
+            traj_type = ti.get("trajectory_type")
+            period = cfg.episode_len_sec / float(ti.get("num_cycles", 1))
+            traj_w = 2.0 * math.pi / period
+            traj_scale = float(ti.get("trajectory_scale", 1.0))
+            from safe_control_gym_tpu.ops.rotations import projection_matrix
+
+            M4 = np.asarray(projection_matrix(
+                ti.get("proj_point", [0, 0, 0]), ti.get("proj_normal", [0, 0, 1])
+            ), dtype=float)
+            proj = tuple(tuple(float(v) for v in M4[k, :4]) for k in range(3))
+
+        self.params = dict(
+            use_prng=not interpret,
+            steps=steps_per_call,
+            n_sub=n_sub,
+            euler=(cfg.physics == "dyn"),
+            dt=1.0 / cfg.pyb_freq,
+            ctrl_dt=1.0 / cfg.ctrl_freq,
+            g=Q.GRAVITY_ACC, arm_l=Q.ARM_L, km_over_kf=Q.KM / Q.KF,
+            a_low=float(env.spaces.action_low[0]),
+            a_high=float(env.spaces.action_high[0]),
+            u_goal=float(env.u_goal[0]),
+            rew_act_w=1e-4 if cfg.rew_act_weight is None else float(np.ravel(cfg.rew_act_weight)[0]),
+            rew_state_w=tuple(np.broadcast_to(np.asarray(cfg.rew_state_weight, float), (12,)).tolist()),
+            rew_exp=bool(cfg.rew_exponential),
+            s_low=tuple(float(v) for v in env.spaces.state_low),
+            s_high=tuple(float(v) for v in env.spaces.state_high),
+            oob_mask=tuple(bool(v) for v in (1, 0, 1, 0, 1, 0, 1, 1, 1, 0, 0, 0)),
+            done_oob=bool(cfg.done_on_out_of_bound),
+            max_steps=float(int(cfg.episode_len_sec * cfg.ctrl_freq)),
+            impulse=impulse,
+            task=task, x_goal=x_goal,
+            traj_type=traj_type, traj_w=traj_w, traj_scale=traj_scale,
+            plane_idx=plane_idx, plane_off=plane_off, proj=proj,
+            rand_nominal=tuple(nominal), rand_lo=tuple(lo), rand_hi=tuple(hi),
+        )
+        kern = functools.partial(_rollout_kernel, p=self.params)
+        spec = lambda rows: pl.BlockSpec(
+            (rows, sub, self.lanes), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
+        self._call = jax.jit(
+            pl.pallas_call(
+                kern,
+                grid=(1,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    spec(4),
+                    spec(_NROWS),
+                ],
+                out_specs=spec(_NROWS),
+                out_shape=jax.ShapeDtypeStruct((_NROWS, sub, self.lanes), jnp.float32),
+                interpret=interpret,
+            )
+        )
+
+    # -- state packing -------------------------------------------------------
+    def _tile(self, a):
+        """(B, k) -> (k, sub, lanes)."""
+        return np.asarray(a, np.float32).T.reshape(-1, self.sub, self.lanes)
+
+    def reset(self, seed: int = 0):
+        """Fresh packed state: same affine draws as the general engine."""
+        rng = np.random.default_rng(seed)
+        nm = np.asarray(self.params["rand_nominal"])
+        lo = np.asarray(self.params["rand_lo"])
+        hi = np.asarray(self.params["rand_hi"])
+        u = rng.random((self.B, 16), dtype=np.float32)
+        drawn = nm + lo + u * (hi - lo)  # (B, 16): mass, j3, x12
+        rows = np.zeros((_NROWS, self.sub, self.lanes), np.float32)
+        rows[:_NX] = self._tile(drawn[:, 4:])
+        rows[_R_MASS] = self._tile(drawn[:, :1])[0]
+        rows[_R_J:_R_J + 3] = self._tile(drawn[:, 1:4])
+        rows[_R_OFFSET] = self._tile(
+            np.floor(rng.random((self.B, 1)) * self.params["max_steps"]).astype(np.float32)
+        )[0]
+        return jnp.asarray(rows)
+
+    def pack(self, env_states):
+        """Pack a batched general-engine QuadState into fast rows."""
+        rows = np.zeros((_NROWS, self.sub, self.lanes), np.float32)
+        rows[:_NX] = self._tile(np.asarray(env_states.x))
+        rows[_R_MASS] = self._tile(np.asarray(env_states.mass)[:, None])[0]
+        rows[_R_J:_R_J + 3] = self._tile(np.asarray(env_states.j_diag))
+        rows[_R_STEP] = self._tile(
+            np.asarray(env_states.ctrl_step, np.float32)[:, None]
+        )[0]
+        sched = env_states.dist_sched.get("dynamics")
+        if isinstance(sched, dict) and sched["offsets"].shape[-1]:
+            rows[_R_OFFSET] = self._tile(
+                np.asarray(sched["offsets"], np.float32)
+            )[0]
+        return jnp.asarray(rows)
+
+    def states(self, rows):
+        """(B, 12) state matrix from packed rows."""
+        return np.asarray(rows[:_NX]).reshape(_NX, self.B).T
+
+    def stats(self, rows):
+        r = np.asarray(rows[_R_STATS:]).reshape(7, self.B)
+        d = dict(zip(_STATS_KEYS, r))
+        n = max(d["done_count"].sum(), 1.0)
+        return {
+            "episodes": float(d["done_count"].sum()),
+            "mean_return": float(d["sum_return"].sum() / n),
+            "mean_length": float(d["sum_length"].sum() / n),
+            "mean_violations": float(d["sum_violations"].sum() / n),
+        }
+
+    def prepare_action(self, action):
+        """Place a (4,) or (B, 4) thrust command on device once; reuse the
+        returned array across ``run`` calls (a fresh host->device transfer
+        per call costs more than the whole 256-step kernel on tunneled
+        backends)."""
+        a = np.asarray(action, np.float32)
+        if a.ndim == 1:
+            a = np.broadcast_to(a.reshape(4, 1), (4, self.B))
+        else:
+            a = a.T
+        return jnp.asarray(a.reshape(4, self.sub, self.lanes))
+
+    def run(self, rows, action, seed=0):
+        """One dispatch = ``steps_per_call`` env steps for all B envs.
+
+        ``action``: (4,)/(B, 4) thrust command applied every step, or a
+        device array from :meth:`prepare_action`.  ``seed`` may be an int or
+        a device int32 array of shape (1,).  Returns new packed state rows.
+        """
+        if not isinstance(action, jax.Array):
+            action = self.prepare_action(action)
+        if not isinstance(seed, jax.Array):
+            seed = jnp.asarray([seed], jnp.int32)
+        return self._call(seed, action, rows)

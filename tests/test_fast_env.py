@@ -1,0 +1,141 @@
+"""Whole-rollout Pallas engine vs the general engine (parallel/fast_env.py).
+
+Step dynamics/reward/done must match the general engine exactly on
+reset-free segments; reset behavior is validated statistically (same
+distributions, different PRNG stream by design).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_control_gym_tpu.envs.quadrotor import QuadrotorConfig, make_quadrotor
+from safe_control_gym_tpu.parallel import make_vec_env
+from safe_control_gym_tpu.parallel.fast_env import FastQuadRollout, supports
+from safe_control_gym_tpu.parallel.rollout import EpisodeStats, RolloutCarry, rollout
+
+B = 1024
+
+
+def _cfg(**kw):
+    base = dict(
+        quad_type=3, ctrl_freq=60, pyb_freq=240, episode_len_sec=6,
+        task="traj_tracking",
+        task_info={"trajectory_type": "figure8", "trajectory_plane": "xy",
+                   "trajectory_position_offset": [0.0, 0.0], "trajectory_scale": 1.0,
+                   "num_cycles": 1, "proj_point": [0, 0, 0.5], "proj_normal": [0, 1, 1]},
+        cost="rl_reward", randomized_inertial_prop=True, randomized_init=True,
+        done_on_out_of_bound=True,
+    )
+    base.update(kw)
+    return QuadrotorConfig(**base)
+
+
+def test_supports_envelope():
+    assert supports(_cfg())
+    assert supports(_cfg(task="stabilization",
+                         task_info={"stabilization_goal": [0, 0, 1],
+                                    "stabilization_goal_tolerance": 0.05}))
+    assert not supports(_cfg(quad_type=2))
+    assert not supports(_cfg(cost="quadratic"))
+    assert not supports(_cfg(gates=((0.5, -1.0, 0, 0, 0, 0, 0),)))
+    assert not supports(_cfg(disturbances={
+        "observation": ({"disturbance_func": "white_noise", "std": 0.1},)}))
+
+
+def test_dynamics_reward_match_general_engine():
+    """Reset-free segment: pack the general engine's reset state into fast
+    rows, run both engines 12 steps with the same constant action, compare
+    trajectories and episode-return accumulators."""
+    cfg = _cfg(randomized_init=False, randomized_inertial_prop=False)
+    env = make_quadrotor(cfg)
+    vec = make_vec_env(env, B)
+    state, obs, _ = jax.jit(vec.reset)(jax.random.key(0))
+    # Benign start: hover at z=1 so no env hits done within the segment.
+    x0 = np.zeros((B, 12), np.float32)
+    x0[:, 4] = 1.0
+    state = state.replace(x=jnp.asarray(x0))
+
+    hover = float(env.u_goal[0])
+    act = jnp.full((B, 4), hover, jnp.float32)
+
+    fr = FastQuadRollout(env, B, steps_per_call=12, interpret=True)
+    rows = fr.pack(state)
+    rows_out = fr.run(rows, np.full(4, hover), seed=0)
+
+    carry = RolloutCarry(state, jnp.asarray(x0), (), EpisodeStats.create(B))
+    carry, _ = jax.jit(
+        lambda c: rollout(vec, lambda ps, o: (act, ps), c, 12, collect=False)
+    )(carry)
+
+    x_fast = fr.states(rows_out)
+    x_gen = np.asarray(carry.env_state.x)
+    np.testing.assert_allclose(x_fast, x_gen, rtol=2e-4, atol=2e-5)
+    # Episode-return accumulators agree (reward math identical).
+    r = np.asarray(rows_out[18]).reshape(B)
+    np.testing.assert_allclose(r, np.asarray(carry.stats.ep_return), rtol=2e-4)
+    # No env terminated during the segment.
+    assert np.asarray(rows_out[21]).sum() == 0
+
+
+def test_impulse_disturbance_matches():
+    """Impulse schedule math matches the general engine given the same
+    per-episode offsets (packed through)."""
+    cfg = _cfg(randomized_init=False, randomized_inertial_prop=False,
+               disturbances={"dynamics": ({"disturbance_func": "impulse",
+                                           "magnitude": 0.02, "duration": 10,
+                                           "decay_rate": 0.8},)})
+    env = make_quadrotor(cfg)
+    vec = make_vec_env(env, B)
+    state, obs, _ = jax.jit(vec.reset)(jax.random.key(3))
+    x0 = np.zeros((B, 12), np.float32)
+    x0[:, 4] = 1.0
+    state = state.replace(x=jnp.asarray(x0))
+    # Force offsets inside the segment so the impulse actually fires.
+    sched = dict(state.dist_sched)
+    dyn = dict(sched["dynamics"])
+    dyn["offsets"] = jnp.full_like(dyn["offsets"], 3)
+    sched["dynamics"] = dyn
+    state = state.replace(dist_sched=sched)
+
+    hover = float(env.u_goal[0])
+    act = jnp.full((B, 4), hover, jnp.float32)
+    fr = FastQuadRollout(env, B, steps_per_call=10, interpret=True)
+    rows_out = fr.run(fr.pack(state), np.full(4, hover), seed=0)
+
+    carry = RolloutCarry(state, jnp.asarray(x0), (), EpisodeStats.create(B))
+    carry, _ = jax.jit(
+        lambda c: rollout(vec, lambda ps, o: (act, ps), c, 10, collect=False)
+    )(carry)
+    np.testing.assert_allclose(
+        fr.states(rows_out), np.asarray(carry.env_state.x), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_auto_reset_statistics_agree():
+    """With randomization + resets the two engines' episode statistics agree
+    to a few percent (different PRNG streams by design)."""
+    cfg = _cfg()
+    env = make_quadrotor(cfg)
+    vec = make_vec_env(env, B)
+    steps = 200
+
+    fr = FastQuadRollout(env, B, steps_per_call=steps, interpret=True)
+    hover = float(env.u_goal[0])
+    rows = fr.run(fr.reset(seed=0), np.full(4, hover), seed=0)
+    fast_stats = fr.stats(rows)
+
+    state, obs, _ = jax.jit(vec.reset)(jax.random.key(0))
+    act = jnp.full((B, 4), hover, jnp.float32)
+    carry = RolloutCarry(state, obs, (), EpisodeStats.create(B))
+    carry, _ = jax.jit(
+        lambda c: rollout(vec, lambda ps, o: (act, ps), c, steps, collect=False)
+    )(carry)
+    gen = {k: float(v) for k, v in jax.device_get(carry.stats.means()).items()}
+
+    assert fast_stats["episodes"] > 0 and gen["episodes"] > 0
+    assert abs(fast_stats["mean_length"] - gen["mean_length"]) \
+        / gen["mean_length"] < 0.15, (fast_stats, gen)
+    assert abs(fast_stats["mean_return"] - gen["mean_return"]) \
+        / max(abs(gen["mean_return"]), 1e-6) < 0.2, (fast_stats, gen)
