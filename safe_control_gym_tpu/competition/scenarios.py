@@ -19,7 +19,7 @@ Curve shapes and constants are taken from the reference scenario files
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import numpy as np
 

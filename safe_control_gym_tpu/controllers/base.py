@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from safe_control_gym_tpu.parallel import make_vec_env
-from safe_control_gym_tpu.parallel.rollout import EpisodeStats, RolloutCarry, rollout
+from safe_control_gym_tpu.parallel.rollout import rollout
 
 
 class BaseController:

@@ -19,7 +19,6 @@ program, and the lambda loop runs on host over device-resident carries.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

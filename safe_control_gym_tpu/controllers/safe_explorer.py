@@ -25,7 +25,6 @@ import optax
 from safe_control_gym_tpu.controllers.ppo import PPO
 from safe_control_gym_tpu.envs.constraints import build_constraints
 from safe_control_gym_tpu.models.networks import MLP
-from safe_control_gym_tpu.parallel import make_vec_env
 
 
 class SafetyLayer:

@@ -36,7 +36,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from safe_control_gym_tpu.envs.benchmark import Task
 from safe_control_gym_tpu.ops.pallas_quad import _actuate, _axpy, _fc_rows
 
 # State-row layout (each row is one (sub, lanes) tile).

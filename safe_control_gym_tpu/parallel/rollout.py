@@ -11,7 +11,7 @@ this is the framework's counterpart of SubprocVecEnv's gather-on-parent
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ headless engine never pays for it.
 from __future__ import annotations
 
 import os
-from collections import defaultdict
 
 import numpy as np
 
