@@ -80,7 +80,6 @@ def build():
 def bench_fast():
     import numpy as np
 
-    from safe_control_gym_tpu.envs.quadrotor import QuadrotorConfig, make_quadrotor
     from safe_control_gym_tpu.parallel.fast_env import FastQuadRollout, supports
 
     cfg = build.cfg

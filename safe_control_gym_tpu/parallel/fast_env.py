@@ -55,26 +55,31 @@ def supports(cfg) -> bool:
     """True if the config is in this engine's validated envelope."""
     from safe_control_gym_tpu.envs.quadrotor import QuadType
 
-    ti = cfg.task_info or {}
+    from safe_control_gym_tpu.envs.quadrotor import _DEFAULT_TASK_INFO
+
+    ti = {**_DEFAULT_TASK_INFO, **(cfg.task_info or {})}
     dist = cfg.disturbances or {}
     dyn = dist.get("dynamics")
     impulse_ok = dyn is None or (
         len(dyn) == 1 and dyn[0].get("disturbance_func") == "impulse"
-        and "mask" not in dyn[0]
+        and "mask" not in dyn[0] and "step_offset" not in dyn[0]
     )
     return (
         int(cfg.quad_type) == QuadType.THREE_D
         and cfg.physics in ("pyb", "dyn")
         and cfg.cost == "rl_reward"
+        and not cfg.normalized_rl_action_space
         and (cfg.task == "stabilization"
              or (cfg.task == "traj_tracking"
-                 and ti.get("trajectory_type", "circle") in ("figure8", "circle")))
+                 and ti.get("trajectory_type") in ("figure8", "circle")))
         and int(cfg.obs_goal_horizon) == 0
         and not dist.get("observation") and not dist.get("action")
         and impulse_ok
         and cfg.adversary_disturbance is None
         and not (cfg.gates or cfg.obstacles)
         and not cfg.done_on_violation
+        and not cfg.done_on_collision
+        and not cfg.done_on_completion
         and not cfg.use_constraint_penalty
     )
 
@@ -200,7 +205,10 @@ def _rollout_kernel(seed_ref, act_ref, st_ref, out_ref, *, p):
             viol = out_k if viol is None else (viol | out_k)
             if p["done_oob"] and p["oob_mask"][k]:
                 done = done | out_k
-        violf = viol.astype(jnp.float32)
+        # The general engine reports violations only when constraints are
+        # configured (quadrotor.py:937-941).
+        violf = viol.astype(jnp.float32) if p["count_viol"] \
+            else jnp.zeros_like(step_f)
 
         # -- episode stats (parallel/rollout.py EpisodeStats.update) -------
         donef = done.astype(jnp.float32)
@@ -266,8 +274,9 @@ class FastQuadRollout:
         self.sub = sub
         self.lanes = num_envs // sub
         self.steps = steps_per_call
+        self._auto_seed = 1
 
-        ti = cfg.task_info or {}
+        ti = {**Q._DEFAULT_TASK_INFO, **(cfg.task_info or {})}
         n_sub = cfg.pyb_freq // cfg.ctrl_freq
         dist = (cfg.disturbances or {}).get("dynamics")
         impulse = None
@@ -283,13 +292,24 @@ class FastQuadRollout:
         init_rand = Q._DEFAULT_INIT_RAND if cfg.randomized_init else {}
         if cfg.randomized_init and cfg.init_state_randomization_info:
             init_rand = cfg.init_state_randomization_info
-        init_state = cfg.init_state if isinstance(cfg.init_state, dict) else {}
+        labels = Q.INIT_LABELS[Q.QuadType.THREE_D]
+        if isinstance(cfg.init_state, dict):
+            init_state = cfg.init_state
+        elif cfg.init_state is not None:
+            # Sequence form, mapped by position (quadrotor.py reset handling).
+            init_state = dict(zip(labels, np.asarray(cfg.init_state, float).ravel()))
+        else:
+            init_state = {}
         names = ["M", "Ixx", "Iyy", "Izz"] + list(Q.INIT_LABELS[Q.QuadType.THREE_D])
         infos = [inertial] * 4 + [init_rand] * 12
         nominal = [Q.MASS, *Q.J_DIAG] + [
-            float(init_state.get(n, 0.0)) for n in Q.INIT_LABELS[Q.QuadType.THREE_D]
+            float(init_state.get(n, 0.0)) for n in labels
         ]
-        if cfg.inertial_prop is not None:
+        if isinstance(cfg.inertial_prop, dict):
+            nominal[0] = float(cfg.inertial_prop.get("M", nominal[0]))
+            for i, k in enumerate(("Ixx", "Iyy", "Izz")):
+                nominal[1 + i] = float(cfg.inertial_prop.get(k, nominal[1 + i]))
+        elif cfg.inertial_prop is not None:
             ip = np.asarray(cfg.inertial_prop, dtype=float).reshape(-1)
             nominal[0] = float(ip[0])
             if ip.size >= 4:
@@ -304,8 +324,9 @@ class FastQuadRollout:
             x_goal = tuple(float(v) for v in xg)
             plane_idx, plane_off = (0, 1), (0.0, 0.0)
             traj_type, traj_w, traj_scale = "none", 0.0, 0.0
-            proj = tuple((1.0 if i == j else 0.0,) * 1 and tuple(
-                1.0 if i == j else 0.0 for j in range(4)) for i in range(3))
+            proj = tuple(
+                tuple(1.0 if r == c else 0.0 for c in range(4)) for r in range(3)
+            )
         else:
             task = "traj"
             x_goal = tuple([0.0] * 12)
@@ -342,6 +363,7 @@ class FastQuadRollout:
             s_high=tuple(float(v) for v in env.spaces.state_high),
             oob_mask=tuple(bool(v) for v in (1, 0, 1, 0, 1, 0, 1, 1, 1, 0, 0, 0)),
             done_oob=bool(cfg.done_on_out_of_bound),
+            count_viol=cfg.constraints is not None,
             max_steps=float(int(cfg.episode_len_sec * cfg.ctrl_freq)),
             impulse=impulse,
             task=task, x_goal=x_goal,
@@ -433,15 +455,20 @@ class FastQuadRollout:
             a = a.T
         return jnp.asarray(a.reshape(4, self.sub, self.lanes))
 
-    def run(self, rows, action, seed=0):
+    def run(self, rows, action, seed=None):
         """One dispatch = ``steps_per_call`` env steps for all B envs.
 
         ``action``: (4,)/(B, 4) thrust command applied every step, or a
-        device array from :meth:`prepare_action`.  ``seed`` may be an int or
-        a device int32 array of shape (1,).  Returns new packed state rows.
+        device array from :meth:`prepare_action`.  ``seed`` may be an int, a
+        device int32 array of shape (1,), or None (default) — None draws a
+        fresh internal counter value per call so consecutive calls never
+        replay the same in-kernel reset stream.  Returns new state rows.
         """
         if not isinstance(action, jax.Array):
             action = self.prepare_action(action)
+        if seed is None:
+            seed = self._auto_seed
+            self._auto_seed += 1
         if not isinstance(seed, jax.Array):
             seed = jnp.asarray([seed], jnp.int32)
         return self._call(seed, action, rows)

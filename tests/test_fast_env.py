@@ -139,3 +139,41 @@ def test_auto_reset_statistics_agree():
         / gen["mean_length"] < 0.15, (fast_stats, gen)
     assert abs(fast_stats["mean_return"] - gen["mean_return"]) \
         / max(abs(gen["mean_return"]), 1e-6) < 0.2, (fast_stats, gen)
+
+
+def test_stabilization_fast_engine_runs():
+    """The stabilization branch constructs and matches the general engine on
+    a reset-free hover segment (regression: identity-projection NameError)."""
+    cfg = _cfg(task="stabilization",
+               task_info={"stabilization_goal": [0, 0, 1],
+                          "stabilization_goal_tolerance": 0.05},
+               randomized_init=False, randomized_inertial_prop=False)
+    env = make_quadrotor(cfg)
+    fr = FastQuadRollout(env, B, steps_per_call=8, interpret=True)
+    vec = make_vec_env(env, B)
+    state, obs, _ = jax.jit(vec.reset)(jax.random.key(0))
+    x0 = np.zeros((B, 12), np.float32)
+    x0[:, 4] = 1.0
+    state = state.replace(x=jnp.asarray(x0))
+    hover = float(env.u_goal[0])
+    rows_out = fr.run(fr.pack(state), np.full(4, hover), seed=0)
+    act = jnp.full((B, 4), hover, jnp.float32)
+    carry = RolloutCarry(state, jnp.asarray(x0), (), EpisodeStats.create(B))
+    carry, _ = jax.jit(
+        lambda c: rollout(vec, lambda ps, o: (act, ps), c, 8, collect=False)
+    )(carry)
+    np.testing.assert_allclose(
+        fr.states(rows_out), np.asarray(carry.env_state.x), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rows_out[18]).reshape(B), np.asarray(carry.stats.ep_return),
+        rtol=2e-4,
+    )
+
+
+def test_supports_rejects_out_of_envelope_extras():
+    assert not supports(_cfg(normalized_rl_action_space=True))
+    assert not supports(_cfg(done_on_collision=True))
+    assert not supports(_cfg(done_on_completion=True))
+    assert not supports(_cfg(disturbances={"dynamics": (
+        {"disturbance_func": "impulse", "magnitude": 0.01, "step_offset": 5},)}))
