@@ -58,3 +58,16 @@ def test_scenario_rehearsal_example(tmp_path):
     import re
     m = re.search(r"mean err=([\d.]+)", r.stdout)
     assert m and float(m.group(1)) < 0.5, r.stdout
+
+
+def test_rl_training_example(tmp_path):
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        f"import sys; sys.argv=['rl_training.py','--steps','12800','--out',r'{tmp_path}'];"
+        f"exec(open(r'{os.path.join(EXAMPLES, 'rl_training.py')}').read())"
+    )
+    r = _run(["-c", code])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "eval return after training" in r.stdout
+    assert os.path.exists(os.path.join(str(tmp_path), "checkpoint"))
+    assert os.path.exists(os.path.join(str(tmp_path), "learning_curve.png"))
