@@ -146,8 +146,12 @@ class Controller:
                 for gp, _ in gate_poses:
                     d = np.linalg.norm(ps[:, :3] - gp, axis=-1)
                     gate_thetas.append(ts[int(d.argmin())] - ts[0])
+                # theta is time-parameterized (MPCCController builds its table
+                # from the retimed plan), so theta_dot = 1 rides the plan's
+                # own TOPP speed profile; allow modest overspeed only.
                 mpcc = MPCCController(
-                    self.flight_traj, self.CTRL_TIMESTEP, gate_thetas=gate_thetas
+                    self.flight_traj, self.CTRL_TIMESTEP, gate_thetas=gate_thetas,
+                    theta_dot_max=1.0,
                 )
                 stages.append(StageActionMPCC(self.CTRL_FREQ, mpcc))
             else:

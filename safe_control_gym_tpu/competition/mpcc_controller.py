@@ -55,9 +55,16 @@ class MPCCController:
         # Parameterize by trajectory time: theta in [0, duration].
         self.theta_grid = jnp.asarray(ts - ts[0], jnp.float32)
         self.path_pos = jnp.asarray(pos[:, :3], jnp.float32)
-        tang = vel[:, :3]
-        tang = tang / np.maximum(np.linalg.norm(tang, axis=-1, keepdims=True), 1e-6)
+        # Tangents from central position differences, NOT velocities: the
+        # retimed plan starts/ends at rest, and normalizing a ~zero velocity
+        # yields a garbage direction that corrupts the lag/contour error
+        # decomposition near theta=0 (observed as the optimizer "climbing"
+        # off the path at race start).
+        p3 = pos[:, :3]
+        tang = np.gradient(p3, axis=0)
+        tang = tang / np.maximum(np.linalg.norm(tang, axis=-1, keepdims=True), 1e-9)
         self.path_tan = jnp.asarray(tang, jnp.float32)
+        self.path_vel = np.asarray(vel[:, :3], np.float32)
         self.theta_max = float(self.theta_grid[-1])
         self.gate_thetas = jnp.asarray(np.asarray(gate_thetas, np.float32))
         self.params = dict(
@@ -69,6 +76,19 @@ class MPCCController:
         self.hover = mass * GRAVITY_ACC / 4.0
         self._us_prev = None
         self._solve = jax.jit(self._make_solver())
+
+    def reference_at(self, theta, theta_dot=1.0):
+        """(pos, vel) on the planned path at progress ``theta`` — host-side
+        lookup for trackers that follow the path geometry at the optimizer's
+        chosen speed (velocity scales with theta_dot; theta is
+        time-parameterized, so theta_dot = 1 is the plan's own schedule)."""
+        grid = np.asarray(self.theta_grid)
+        th = float(np.clip(theta, 0.0, self.theta_max))
+        p = np.array([np.interp(th, grid, np.asarray(self.path_pos)[:, i])
+                      for i in range(3)])
+        v = np.array([np.interp(th, grid, self.path_vel[:, i])
+                      for i in range(3)]) * float(theta_dot)
+        return p, v
 
     def _lookup(self, theta):
         th = jnp.clip(theta, 0.0, self.theta_max)
@@ -94,7 +114,18 @@ class MPCCController:
             )
             return jnp.concatenate([quad, x[13:14], u[4:5]])
 
-        fd = lambda x, u: rk4_step(fc, x, u, dt)
+        # Trust-region the internal rollout: iLQR line-search candidates can
+        # visit |theta| ~ pi/2 where the Euler kinematics blow up (tan/sec),
+        # poisoning the whole solve with NaNs.  Clip attitude/rates/velocity
+        # after each internal step; the optimum stays far inside the box.
+        _lim = jnp.asarray(
+            [5.0, 8.0, 5.0, 8.0, 5.0, 8.0, 1.2, 1.2, 3.2, 25.0, 25.0, 25.0],
+            jnp.float32,
+        )
+
+        def fd(x, u):
+            xn = rk4_step(fc, x, u, dt)
+            return jnp.concatenate([jnp.clip(xn[:12], -_lim, _lim), xn[12:]])
 
         def stage_cost(x, u, k):
             pos = jnp.stack([x[0], x[2], x[4]])
@@ -141,6 +172,18 @@ class MPCCController:
     def solve(self, obs, theta, theta_dot):
         """One MPCC solve.  obs: 12D quad state.  Returns (next reference
         state for FULLSTATE command, planned xs, new theta/theta_dot)."""
+        # Re-anchor progress to the drone's actual position: the virtual
+        # theta integrator otherwise runs ahead whenever the tracker lags
+        # (the solver then re-solves from an ever-growing lag state and
+        # degenerates; observed as a vertical runaway under the 25 Hz
+        # firmware loop).  Closest path point in a local window around the
+        # carried theta, never jumping more than the window per tick.
+        pos = np.asarray([obs[0], obs[2], obs[4]], np.float32)
+        grid = np.asarray(self.theta_grid)
+        win = (grid >= theta - 0.3) & (grid <= theta + 0.8)
+        if win.any():
+            d = np.linalg.norm(np.asarray(self.path_pos)[win] - pos, axis=-1)
+            theta = float(grid[win][int(d.argmin())])
         x0 = jnp.concatenate(
             [jnp.asarray(obs[:12], jnp.float32),
              jnp.asarray([theta, theta_dot], jnp.float32)]

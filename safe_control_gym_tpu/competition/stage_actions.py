@@ -143,15 +143,20 @@ class StageActionSpline(StageAction):
 
 
 class StageActionMPCC(StageAction):
-    """Race along the planned path with MPCC, sending the optimizer's next
-    state as a FULLSTATE command (reference stage_action_mpcc.py)."""
+    """Race along the planned path with MPCC, sending a look-ahead state of
+    the optimized plan as a FULLSTATE command (reference
+    stage_action_mpcc.py).  ``lead`` picks plan step k as the setpoint: the
+    one-step state sits millimeters from the drone, which a
+    position-dominant tracker ignores (it would hover while the virtual
+    progress runs on); ~0.2 s of look-ahead gives it a real error to chase."""
 
-    def __init__(self, ctrl_freq, mpcc, duration=None):
+    def __init__(self, ctrl_freq, mpcc, duration=None, lead=5):
         self.ctrl_freq = ctrl_freq
         self.mpcc = mpcc
         self.theta = 0.0
         self.theta_dot = 0.0
         self.duration = duration
+        self.lead = lead
 
     def reset(self):
         self.theta = 0.0
@@ -165,9 +170,25 @@ class StageActionMPCC(StageAction):
         x_next, xs, self.theta, self.theta_dot = self.mpcc.solve(
             obs12, self.theta, self.theta_dot
         )
-        p = np.array([x_next[0], x_next[2], x_next[4]])
+        # Clamp the carried virtual progress speed: warm-started solutions
+        # can ratchet it past the soft bound when tracking lags.
+        self.theta_dot = float(
+            np.clip(self.theta_dot, 0.0, self.mpcc.params["theta_dot_max"])
+        )
+        # Command the planned PATH at the optimizer's progress + chosen speed
+        # rather than the raw iLQR state: the geometric plan is collision-free
+        # by construction, while an under-converged plan state can cut gate
+        # frames; MPCC still contributes the speed profile (theta/theta_dot).
+        theta_cmd = min(
+            self.theta + self.lead / self.ctrl_freq * max(self.theta_dot, 0.3),
+            self.mpcc.theta_max,
+        )
+        p, v = self.mpcc.reference_at(theta_cmd, self.theta_dot)
         p = p + _gate_correction_offset(p, corrections)
-        v = np.array([x_next[1], x_next[3], x_next[5]])
+        # Velocity feedforward bounded to what the tracker can realize.
+        speed = float(np.linalg.norm(v))
+        if speed > 2.0:
+            v = v * (2.0 / speed)
         done = self.theta >= self.mpcc.theta_max - 1e-3
         args = (p, v, np.zeros(3), 0.0, np.zeros(3), global_it / self.ctrl_freq)
         return done, Command.FULLSTATE, args

@@ -180,6 +180,17 @@ class FirmwareWrapper:
             # (firmware_wrapper.py:277-278).
             rpm = PWM2RPM_SCALE * np.clip(self.pwms, MIN_PWM, MAX_PWM) + PWM2RPM_CONST
             new_action = (KF * rpm**2)[[3, 2, 1, 0]]
+            # Keep the emitted thrusts inside the env's physical input bounds:
+            # at the PWM ceiling the f64 thrust equals the bound exactly and
+            # the env's f32 cast can tip it ~1e-7 over, tripping the default
+            # input constraint (done_on_violation ends the episode).  Same
+            # guard as the sim-only PID path (competition/controller.py
+            # _clip_forces).
+            new_action = np.clip(
+                new_action,
+                np.asarray(self.env.spaces.action_low, np.float32),
+                np.asarray(self.env.spaces.action_high, np.float32),
+            )
             if self._error:
                 new_action = np.zeros(4)
                 done = True

@@ -945,6 +945,16 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
                 rew = jnp.where(
                     constraints.is_almost_active(c_val), rew + cfg.constraint_penalty, rew
                 )
+        # Numerical safety net: integrating past the Euler singularity
+        # (|theta| -> pi/2 within one control step's substeps) or any other
+        # blow-up produces non-finite state; NaN comparisons are all False,
+        # so without this guard the episode would never terminate.  Freeze
+        # the last finite state and end the episode.
+        finite = jnp.all(jnp.isfinite(x))
+        x = jnp.where(finite, x, state.x)
+        done = done | ~finite
+        new_state = new_state.replace(x=x)
+
         new_ctrl = state.ctrl_step + 1
         timeout = new_ctrl >= max_steps
         info["TimeLimit.truncated"] = timeout & ~done

@@ -132,3 +132,17 @@ def test_competition_utils_plot_draw_thrusts(tmp_path):
     f = thrusts(ctrl, 1 / 30, 3.16e-10, obs, np.array([0, 0, 1.2]), np.zeros(3))
     assert f.shape == (4,) and np.all(f > 0)
     assert hasattr(ctrl, "pid_state")  # state carried for the next call
+
+
+def test_level0_firmware_mpcc_completes_course():
+    """End-to-end level0 with the MPCC racing stage through the 500 Hz
+    firmware loop: all 4 gates, no collisions (regression for the virtual-
+    progress runaway / tangent-at-rest / internal-NaN chain)."""
+    from safe_control_gym_tpu.competition.getting_started import run
+
+    eps = run(_load_level(0), num_episodes=1, use_firmware=True,
+              use_mpcc=True, ctrl_freq=25)
+    ep = eps[0]
+    assert ep["collisions"] == 0, ep
+    assert ep["gates_passed"] == 4, ep
+    assert ep["reward"] > 300, ep
