@@ -163,6 +163,7 @@ class Controller:
         # Flight-plan cache keyed by the gate tuple actually planned against
         # (reference ek_controller_impl.py:73-92).
         self._plan_cache = {}
+        self._nominal_plan = None  # set after ctor completes (see below)
 
         # cmdSimOnly support (software PID path, edit_this.py cmdSimOnly).
         self._act_bounds = initial_info.get("physical_action_bounds")
@@ -315,12 +316,19 @@ class Controller:
         self.gate_corrector.reset()
         self.rate_estimator.reset()
         # Pre-episode risk advice (reference ek_controller_impl.py:113-127):
-        # RECKLESS -> re-plan against the gate poses measured in episode 1.
+        # RECKLESS -> re-plan against the gate poses measured in episode 1;
+        # CONSERVATIVE -> restore the nominal plan (a previous RECKLESS
+        # episode may have swapped it out).
         profile, hint = self.risk_adviser.episode_advice()
+        if self._nominal_plan is None:
+            self._nominal_plan = (self.trajectory, self.flight_traj,
+                                  self.sequencer, self._gate_centers, self._ref_t)
         if hint:
             gates = [hint[k] for k in sorted(hint)]
             self.replan(gates)
         else:
+            (self.trajectory, self.flight_traj, self.sequencer,
+             self._gate_centers, self._ref_t) = self._nominal_plan
             self.sequencer.reset()
         self._pid_state = PIDState.create()
 
