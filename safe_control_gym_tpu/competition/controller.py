@@ -156,7 +156,15 @@ class Controller:
                 stages.append(StageActionMPCC(self.CTRL_FREQ, mpcc))
             else:
                 stages.append(
-                    StageActionSpline(self.CTRL_FREQ, self.flight_traj, speed_scale=1.0)
+                    StageActionSpline(
+                        self.CTRL_FREQ, self.flight_traj, speed_scale=1.0,
+                        # Crawl through apertures on top of the TOPP profile:
+                        # the effective aperture margin is only ~0.14 m
+                        # (inner half-edge minus drone radius), so tracking
+                        # error at gates decides collisions.
+                        gate_centers=[gp for gp, _ in gate_poses],
+                        gate_slow_scale=0.45, gate_slow_radius=0.5,
+                    )
                 )
         stages += [StageActionLand(self.CTRL_FREQ), StageActionFinished()]
         self.sequencer = StageSequencer(stages)
@@ -164,6 +172,11 @@ class Controller:
         # (reference ek_controller_impl.py:73-92).
         self._plan_cache = {}
         self._nominal_plan = None  # set after ctor completes (see below)
+        # True while flying a plan built from MEASURED gate poses: online
+        # gate-correction blending must then be off — the corrections are
+        # exact-minus-nominal offsets already baked into the plan, and
+        # adding them again double-shifts the track into the gate frames.
+        self._plan_is_measured = False
 
         # cmdSimOnly support (software PID path, edit_this.py cmdSimOnly).
         self._act_bounds = initial_info.get("physical_action_bounds")
@@ -240,6 +253,8 @@ class Controller:
         if not np.any(pqr) and self.rate_estimator.body_rates_enabled:
             pqr = est_pqr
         corrections = self.gate_corrector.update(info or {})
+        if self._plan_is_measured:
+            corrections = None
         if info:
             if info.get("task_completed"):
                 self._last_task_completed = True
@@ -326,9 +341,11 @@ class Controller:
         if hint:
             gates = [hint[k] for k in sorted(hint)]
             self.replan(gates)
+            self._plan_is_measured = True
         else:
             (self.trajectory, self.flight_traj, self.sequencer,
              self._gate_centers, self._ref_t) = self._nominal_plan
+            self._plan_is_measured = False
             self.sequencer.reset()
         self._pid_state = PIDState.create()
 
