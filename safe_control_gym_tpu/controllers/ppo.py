@@ -59,6 +59,11 @@ class PPOConfig:
     entropy_coef: float = 0.01
     opt_epochs: int = 10
     mini_batch_size: int = 64
+    # True (reference semantics, ppo_utils.py:147): a fresh random
+    # permutation every epoch.  False: ONE shuffle per train step, epochs
+    # iterate the same minibatch blocks in rotated order — saves a
+    # ~ms-per-epoch gather on TPU; learning quality is indistinguishable.
+    reshuffle_each_epoch: bool = True
     actor_lr: float = 3e-4
     critic_lr: float = 1e-3
     max_grad_norm: float = 0.5
@@ -119,7 +124,7 @@ class PPO(BaseController):
         env_state, obs, _ = jax.jit(self.vec.reset)(k3)
         self.state = PPOState(
             ac=ac,
-            actor_opt=self.actor_tx.init(ac.actor_params),
+            actor_opt=self.actor_tx.init((ac.actor_params, ac.logstd)),
             critic_opt=self.critic_tx.init(ac.critic_params),
             obs_norm=MeanStdNormalizer.create((obs_dim,), clip=cfg.clip_obs),
             rew_norm=RewardStdNormalizer.create(
@@ -216,9 +221,32 @@ class PPO(BaseController):
             n_mini = max(N // cfg.mini_batch_size, 1)
             flat = jax.tree.map(lambda x: x.reshape((N,) + x.shape[2:]), batch_all)
 
-            def minibatch_step(carry, idx):
+            # Pack every per-sample field into ONE (N, F) matrix so each
+            # minibatch costs a single row-gather.  TPU row-gathers are
+            # overhead-bound per launched gather, not per byte: the unpacked
+            # tree cost 5 gather fusions x ~500 us per minibatch — ~100 ms of
+            # a 117 ms train step at B=4096 (see docs/PERF.md).
+            fields = ("obs", "act", "v", "logp", "ret", "adv")  # all the update reads
+            widths = []
+            cols = []
+            for f in fields:
+                arr = flat[f]
+                arr2 = arr[:, None] if arr.ndim == 1 else arr
+                widths.append(arr2.shape[1])
+                cols.append(arr2.astype(jnp.float32))
+            packed = jnp.concatenate(cols, axis=1)
+            offsets = np.concatenate([[0], np.cumsum(widths)])
+
+            def unpack(rows):
+                mb = {}
+                for f, s, e in zip(fields, offsets[:-1], offsets[1:]):
+                    col = rows[:, int(s):int(e)]
+                    mb[f] = col[:, 0] if flat[f].ndim == 1 else col
+                return mb
+
+            def minibatch_step(carry, mb_rows):
                 ac, aopt, copt = carry
-                mb = jax.tree.map(lambda x: x[idx], flat)
+                mb = unpack(mb_rows)
 
                 def actor_loss_fn(ap, logstd):
                     dist = self._dist(ac.replace(actor_params=ap, logstd=logstd), mb["obs"])
@@ -243,13 +271,11 @@ class PPO(BaseController):
                 # approximate KL exceeds 1.5 * target_kl.
                 gate = (cfg.target_kl <= 0) | (kl <= 1.5 * cfg.target_kl)
                 g = jax.tree.map(lambda x: x * gate.astype(x.dtype), grads)
-                updates, aopt2 = self.actor_tx.update(g[0], aopt, ac.actor_params)
-                new_ap = optax.apply_updates(ac.actor_params, updates)
-                # The state-independent logstd is optimized with plain SGD at
-                # the actor learning rate (the reference puts it in the same
-                # Adam group; keeping it separate avoids re-threading the
-                # optax state through a mixed tree).
-                new_logstd = ac.logstd - cfg.actor_lr * g[1]
+                # One Adam group over (MLP params, state-independent logstd),
+                # matching the reference's single optimizer over all actor
+                # parameters (ppo_utils.py MLPActor + optimizer setup).
+                updates, aopt2 = self.actor_tx.update(g, aopt, (ac.actor_params, ac.logstd))
+                new_ap, new_logstd = optax.apply_updates((ac.actor_params, ac.logstd), updates)
 
                 def critic_loss_fn(cp):
                     v_cur = self.critic.apply(cp, mb["obs"])[..., 0]
@@ -272,17 +298,32 @@ class PPO(BaseController):
                 metrics = jnp.stack([p_loss, v_loss, e_loss, kl])
                 return (ac2, aopt2, copt2), metrics
 
-            def epoch_step(carry, key):
-                perm = jax.random.permutation(key, N)
-                idxs = perm[: n_mini * cfg.mini_batch_size].reshape(
-                    n_mini, cfg.mini_batch_size
-                )
-                carry, metrics = jax.lax.scan(minibatch_step, carry, idxs)
-                return carry, metrics.mean(0)
+            keys = jax.random.split(state.key, cfg.opt_epochs + 2)
 
-            keys = jax.random.split(state.key, cfg.opt_epochs + 1)
+            if cfg.reshuffle_each_epoch:
+                # Reference semantics: fresh permutation per epoch — one
+                # packed gather per epoch.
+                def epoch_step(carry, key):
+                    perm = jax.random.permutation(key, N)
+                    shuffled = packed[perm[: n_mini * cfg.mini_batch_size]]
+                    mbs = shuffled.reshape(n_mini, cfg.mini_batch_size, -1)
+                    carry, metrics = jax.lax.scan(minibatch_step, carry, mbs)
+                    return carry, metrics.mean(0)
+            else:
+                # One shuffle per train step; epochs rotate whole minibatch
+                # blocks (coarse gather of n_mini contiguous slabs).
+                perm = jax.random.permutation(keys[-1], N)
+                blocks = packed[perm[: n_mini * cfg.mini_batch_size]].reshape(
+                    n_mini, cfg.mini_batch_size, -1
+                )
+
+                def epoch_step(carry, key):
+                    order = jax.random.permutation(key, n_mini)
+                    carry, metrics = jax.lax.scan(minibatch_step, carry, blocks[order])
+                    return carry, metrics.mean(0)
+
             (ac, aopt, copt), metrics = jax.lax.scan(
-                epoch_step, (state.ac, state.actor_opt, state.critic_opt), keys[1:]
+                epoch_step, (state.ac, state.actor_opt, state.critic_opt), keys[1:-1]
             )
             state = state.replace(
                 ac=ac, actor_opt=aopt, critic_opt=copt, key=keys[0]

@@ -66,6 +66,11 @@ class CartPoleConfig:
     use_constraint_penalty: bool = False
     constraint_penalty: float = -1.0
     disturbances: Optional[dict] = None
+    # Adversary channel (benchmark_env.py:256-266 is env-generic; cartpole is
+    # the reference's canonical RARL task).
+    adversary_disturbance: Optional[str] = None  # "action" | "dynamics"
+    adversary_disturbance_offset: float = 0.0
+    adversary_disturbance_scale: float = 0.01
     # RL reward shaping (mirrors upstream cartpole kwargs).
     rew_state_weight: Any = 1.0
     rew_act_weight: Any = 0.0001
@@ -118,7 +123,8 @@ class CartPoleState(struct.PyTreeNode):
     cart_mass: jnp.ndarray
     dist_sched: dict  # mode -> (n,) int32 offsets
     cnstr_violation: jnp.ndarray  # bool, carried across steps
-    adv_force: jnp.ndarray  # adversary dynamics/action channel value
+    adv_force: jnp.ndarray  # (1,) adversary dynamics force on the cart
+    adv_act: jnp.ndarray  # (1,) adversary action offset
 
 
 def cartpole_fc(x, u, pole_length, pole_mass, cart_mass, g=GRAVITY):
@@ -295,6 +301,7 @@ def make_cartpole(config: CartPoleConfig = CartPoleConfig()) -> FnEnv:
             dist_sched=sched,
             cnstr_violation=jnp.zeros((), bool),
             adv_force=jnp.zeros((1,), dtype),
+            adv_act=jnp.zeros((1,), dtype),
         )
         k_obs_noise = jax.random.fold_in(carry, jnp.int32(-1))
         obs = _obs(state, k_obs_noise)
@@ -317,6 +324,10 @@ def make_cartpole(config: CartPoleConfig = CartPoleConfig()) -> FnEnv:
         else:
             force = jnp.clip(action, act_low[0], act_high[0])
         preprocessed = force
+        if cfg.adversary_disturbance == "action":
+            # Applied after preprocessing, before passive action disturbances
+            # (quadrotor.py:837-838 ordering).
+            force = force + state.adv_act
         prog = dist_progs["action"]
         if prog is not None:
             force = prog.apply(
@@ -352,7 +363,8 @@ def make_cartpole(config: CartPoleConfig = CartPoleConfig()) -> FnEnv:
             }
 
         new_state = state.replace(
-            x=x, key=key, dist_sched=sched, adv_force=jnp.zeros((1,), dtype)
+            x=x, key=key, dist_sched=sched,
+            adv_force=jnp.zeros((1,), dtype), adv_act=jnp.zeros((1,), dtype),
         )
 
         # Reward (pre-increment counter indexes the goal, quadrotor.py:905).
@@ -410,6 +422,10 @@ def make_cartpole(config: CartPoleConfig = CartPoleConfig()) -> FnEnv:
         x = jnp.where(finite, x, state.x)
         done = done | ~finite
         new_state = new_state.replace(x=x)
+        # The reward was computed from the blown-up state, so the terminal
+        # step would still emit NaN and poison episode returns / advantages;
+        # zero it alongside the state freeze.
+        rew = jnp.where(finite, rew, jnp.zeros_like(rew))
 
         new_ctrl = state.ctrl_step + 1
         timeout = new_ctrl >= max_steps
@@ -422,6 +438,16 @@ def make_cartpole(config: CartPoleConfig = CartPoleConfig()) -> FnEnv:
         )
         obs = _obs(new_state, k_obs)
         return new_state, obs, rew.astype(dtype), done, info
+
+    def set_adversary_control(state: CartPoleState, adv_action):
+        """Functional analogue of env.set_adversary_control (benchmark_env.py:256-266)."""
+        adv = jnp.clip(jnp.asarray(adv_action, dtype).reshape(1), -1.0, 1.0)
+        adv = adv * cfg.adversary_disturbance_scale + cfg.adversary_disturbance_offset
+        if cfg.adversary_disturbance == "action":
+            return state.replace(adv_act=adv)
+        if cfg.adversary_disturbance == "dynamics":
+            return state.replace(adv_force=adv)
+        raise RuntimeError("adversary_disturbance is not configured for this env.")
 
     symbolic = DynamicsModel(
         fc_func=lambda x, u: cartpole_fc(x, u, nom_pole_length, nom_pole_mass, nom_cart_mass),
@@ -440,6 +466,7 @@ def make_cartpole(config: CartPoleConfig = CartPoleConfig()) -> FnEnv:
         ctrl_freq=cfg.ctrl_freq,
         pyb_freq=cfg.pyb_freq,
         episode_len_sec=cfg.episode_len_sec,
+        extras={"set_adversary_control": set_adversary_control},
     )
 
 

@@ -42,6 +42,15 @@ class _Quadratic:
 
 
 @dataclasses.dataclass(frozen=True)
+class _Symmetric:
+    """One |F x| <= b block (reference SymmetricStateConstraint,
+    constraints.py:371-415): d rows of |x_filtered| - bound."""
+
+    F: np.ndarray  # (d, nx) selection filter
+    b: np.ndarray  # (d,)
+
+
+@dataclasses.dataclass(frozen=True)
 class CompiledConstraints:
     """Stacked constraint program.
 
@@ -56,7 +65,8 @@ class CompiledConstraints:
     A_u: np.ndarray  # (nc_lin, nu)
     b: np.ndarray  # (nc_lin,)
     quadratics: Sequence[_Quadratic]
-    row_order: np.ndarray  # (nc,) permutation: output row -> position in [lin rows..., quad rows...]
+    symmetrics: Sequence[_Symmetric]
+    row_order: np.ndarray  # (nc,) permutation: output row -> position in [lin rows..., quad rows..., sym rows...]
     strict: np.ndarray  # (nc,) bool
     tolerance: np.ndarray  # (nc,) float; -inf disables almost-active for that row
     state_only_rows: np.ndarray  # (nc,) bool: rows from STATE-type constraints
@@ -74,6 +84,8 @@ class CompiledConstraints:
             v = u if q.on_input else x
             P = jnp.asarray(q.P, dtype)
             vals.append(((v @ P) * v).sum(-1, keepdims=True) - jnp.asarray(q.b, dtype))
+        for s in self.symmetrics:
+            vals.append(jnp.abs(x @ s.F.T.astype(dtype)) - s.b.astype(dtype))
         stacked = jnp.concatenate(vals, axis=-1)
         return stacked[..., self.row_order]
 
@@ -126,7 +138,9 @@ def build_constraints(
     lin_meta = []  # (strict, tol_or_None, var_type) per linear row-block
     quads: list[_Quadratic] = []
     quad_meta = []
-    order_tags = []  # ('lin', n_rows) / ('quad', 1) in spec order
+    syms: list[_Symmetric] = []
+    sym_meta = []
+    order_tags = []  # ('lin', n_rows) / ('quad', 1) / ('sym', d) in spec order
 
     for spec in specs:
         spec = dict(spec)
@@ -192,6 +206,20 @@ def build_constraints(
             lin_b.append(b)
             lin_meta.append((strict, tolerance, var, 2 * d))
             order_tags.append(("lin", 2 * d))
+        elif form == "symmetric_constraint":
+            # |x_filtered| <= bound, d rows (reference SymmetricStateConstraint,
+            # constraints.py:371-415; state-only by construction there).
+            if var != "state":
+                raise ValueError("symmetric_constraint must be on state")
+            bound = np.array(spec["bound"], ndmin=1, dtype=float)
+            if F.shape[0] != bound.shape[0]:
+                if active_dims is None and bound.shape[0] < nx:
+                    raise ValueError(
+                        "symmetric_constraint bound dim does not match state dim"
+                    )
+            syms.append(_Symmetric(F=F, b=bound))
+            sym_meta.append((strict, tolerance, var, bound.shape[0]))
+            order_tags.append(("sym", bound.shape[0]))
         elif form == "quadratic_constraint":
             P = np.array(spec["P"], ndmin=2, dtype=float)
             P_full = F.T @ P @ F
@@ -212,13 +240,19 @@ def build_constraints(
     # value vector, quad rows appended after).
     row_order, strict_v, tol_v, state_v, input_v = [], [], [], [], []
     lin_cursor, quad_cursor = 0, nc_lin
-    lin_i, quad_i = 0, 0
+    sym_cursor = nc_lin + len(quads)
+    lin_i, quad_i, sym_i = 0, 0, 0
     for kind, n in order_tags:
         if kind == "lin":
             strict_f, tol, var, _ = lin_meta[lin_i]
             lin_i += 1
             rows = list(range(lin_cursor, lin_cursor + n))
             lin_cursor += n
+        elif kind == "sym":
+            strict_f, tol, var, _ = sym_meta[sym_i]
+            sym_i += 1
+            rows = list(range(sym_cursor, sym_cursor + n))
+            sym_cursor += n
         else:
             strict_f, tol, var, _ = quad_meta[quad_i]
             quad_i += 1
@@ -240,6 +274,7 @@ def build_constraints(
         A_u=A_u,
         b=b,
         quadratics=tuple(quads),
+        symmetrics=tuple(syms),
         row_order=np.asarray(row_order, dtype=np.int32),
         strict=np.asarray(strict_v, dtype=bool),
         tolerance=np.asarray(tol_v, dtype=float),

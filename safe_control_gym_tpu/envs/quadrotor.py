@@ -197,6 +197,11 @@ class QuadrotorConfig:
     # None = auto (TPU backend, f32, eligible batch), False = never,
     # True = force (interpret mode off-TPU; tests).
     use_pallas: Optional[bool] = None
+    # Trajectory-goal lookup strategy: one-hot MXU contraction (fast on TPU)
+    # vs plain gather (fast on CPU).  None = auto from the default backend at
+    # construction time; pin explicitly when building under one backend but
+    # stepping under another.
+    onehot_goal: Optional[bool] = None
 
 
 class QuadState(struct.PyTreeNode):
@@ -538,18 +543,24 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
 
     # TPU gathers over the trajectory table are slow (kCustom gather,
     # measured ~23 us/step at B=4096); a one-hot contraction rides the MXU
-    # instead (~1 us).  CPU keeps the plain gather.
-    _onehot_goal = (
-        task == Task.TRAJ_TRACKING
-        and jax.devices()[0].platform in ("tpu", "axon")
-    )
+    # instead (~1 us).  CPU keeps the plain gather.  cfg.onehot_goal pins the
+    # choice; None auto-detects from the default backend at construction.
+    if cfg.onehot_goal is not None:
+        _onehot_goal = bool(cfg.onehot_goal) and task == Task.TRAJ_TRACKING
+    else:
+        _onehot_goal = (
+            task == Task.TRAJ_TRACKING
+            and jax.devices()[0].platform in ("tpu", "axon")
+        )
 
     def _goal_rows(steps):
         """Trajectory reference row(s) for (possibly batched) step indices."""
         wp = jnp.clip(steps, 0, x_goal_j.shape[0] - 1)
         if _onehot_goal:
+            # HIGHEST precision: the default TPU matmul rounds the f32 table
+            # to bf16 (~0.4% goal-position error) — this lookup must be exact.
             oh = jax.nn.one_hot(wp, x_goal_j.shape[0], dtype=x_goal_j.dtype)
-            return oh @ x_goal_j
+            return jnp.matmul(oh, x_goal_j, precision=jax.lax.Precision.HIGHEST)
         return x_goal_j[wp]
 
     def _pos3d(x):
@@ -954,6 +965,10 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
         x = jnp.where(finite, x, state.x)
         done = done | ~finite
         new_state = new_state.replace(x=x)
+        # The reward was computed from the blown-up state, so the terminal
+        # step would still emit NaN and poison episode returns / advantages;
+        # zero it alongside the state freeze.
+        rew = jnp.where(finite, rew, jnp.zeros_like(rew))
 
         new_ctrl = state.ctrl_step + 1
         timeout = new_ctrl >= max_steps

@@ -60,12 +60,28 @@ def supports(cfg) -> bool:
     ti = {**_DEFAULT_TASK_INFO, **(cfg.task_info or {})}
     dist = cfg.disturbances or {}
     dyn = dist.get("dynamics")
+
+    def _scalar(v):
+        return np.asarray(v, dtype=float).size == 1
+
     impulse_ok = dyn is None or (
         len(dyn) == 1 and dyn[0].get("disturbance_func") == "impulse"
         and "mask" not in dyn[0] and "step_offset" not in dyn[0]
+        # Per-axis magnitudes / non-scalar specs route to the general engine
+        # (the kernel applies one scalar magnitude to all three axes).
+        and all(_scalar(dyn[0].get(k, 1.0))
+                for k in ("magnitude", "duration", "decay_rate"))
+        and float(np.asarray(dyn[0].get("decay_rate", 1.0), float)) > 0.0
     )
+    # The kernel applies ONE action weight to all four motors; a per-motor
+    # weight vector must fall back unless it is uniform.
+    act_w = np.asarray(
+        1e-4 if cfg.rew_act_weight is None else cfg.rew_act_weight, dtype=float
+    ).ravel()
+    act_w_ok = act_w.size == 1 or bool(np.all(act_w == act_w[0]))
     return (
-        int(cfg.quad_type) == QuadType.THREE_D
+        act_w_ok
+        and int(cfg.quad_type) == QuadType.THREE_D
         and cfg.physics in ("pyb", "dyn")
         and cfg.cost == "rl_reward"
         and not cfg.normalized_rl_action_space
@@ -125,9 +141,11 @@ def _rollout_kernel(seed_ref, act_ref, st_ref, out_ref, *, p):
             mag, dur, decay = p["impulse"]
             peak = offset + float(int(dur / 2))
             po = jnp.abs(step_f - peak)
+            # decay**po for any decay > 0, matching the general engine's
+            # exact exponentiation (disturbances.py:151).
             dec = jnp.where(
                 po < dur / 2.0,
-                jnp.exp(po * math.log(decay)) if decay < 1.0 else jnp.ones_like(po),
+                jnp.exp(po * math.log(decay)) if decay != 1.0 else jnp.ones_like(po),
                 jnp.zeros_like(po),
             )
             n = jnp.where(step_f >= offset, mag * dec, 0.0)
@@ -282,8 +300,11 @@ class FastQuadRollout:
         impulse = None
         if dist:
             d = dist[0]
-            impulse = (float(d.get("magnitude", 1.0)), float(d.get("duration", 1)),
-                       float(d.get("decay_rate", 1.0)))
+            # supports() guarantees scalar specs; ravel handles 1-elem lists.
+            impulse = tuple(
+                float(np.asarray(d.get(k, dflt), dtype=float).ravel()[0])
+                for k, dflt in (("magnitude", 1.0), ("duration", 1), ("decay_rate", 1.0))
+            )
         # Randomization bounds in fast-row order: mass, jx, jy, jz, x0..x11
         # (same affine form as the general engine's consolidated draw).
         inertial = Q._DEFAULT_INERTIAL_RAND if cfg.randomized_inertial_prop else {}

@@ -16,6 +16,9 @@ from safe_control_gym_tpu.envs.cartpole import CartPoleConfig, make_cartpole
 from safe_control_gym_tpu.envs.quadrotor import QuadrotorConfig, make_quadrotor
 from safe_control_gym_tpu.parallel import make_vec_env
 
+pytestmark = pytest.mark.slow  # heavyweight: excluded from the fast CI shard
+
+
 B, STEPS = 64, 40
 
 

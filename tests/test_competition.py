@@ -17,6 +17,9 @@ from safe_control_gym_tpu.competition.planning import (
     pmm_segment,
 )
 
+pytestmark = pytest.mark.slow  # heavyweight: excluded from the fast CI shard
+
+
 LEVELS = os.path.join(
     os.path.dirname(__file__), "..", "safe_control_gym_tpu", "competition", "levels"
 )
@@ -93,7 +96,7 @@ def test_mpcc_solver_progresses():
         [0, 0, 1], [0, 0, 0], [3, 0, 1], [0, 0, 0],
         np.array([-3.0, -3.0, -3.0]), np.array([3.0, 3.0, 3.0]),
     )
-    mpcc = MPCCController(traj, dt=0.04, horizon=15, ilqr_iters=8)
+    mpcc = MPCCController(traj, dt=0.04, horizon=15, inner_iters=6)
     obs = np.zeros(12)
     obs[4] = 1.0  # hover at start
     theta, theta_dot = 0.0, 0.0

@@ -124,3 +124,37 @@ def test_batched_evaluation():
     vals = cc.get_values(xs, us)
     assert vals.shape == (7, 8)
     assert cc.is_violated(vals).shape == (7,)
+
+
+def test_symmetric_constraint():
+    """|x_filtered| <= bound, d rows interleaved in spec order (reference
+    SymmetricStateConstraint, constraints.py:371-415)."""
+    cc = build_constraints(
+        [
+            {
+                "constraint_form": "linear_constraint",
+                "constrained_variable": "input",
+                "A": [[1.0]],
+                "b": [5.0],
+            },
+            {
+                "constraint_form": "symmetric_constraint",
+                "constrained_variable": "state",
+                "bound": [1.5, 0.25],
+                "active_dims": [0, 2],
+            },
+        ],
+        SPACES,
+    )
+    assert cc.num_constraints == 3
+    x = jnp.asarray([-1.0, 99.0, 0.3, -99.0])
+    u = jnp.asarray([2.0])
+    vals = np.asarray(cc.get_values(x, u))
+    # Spec order: linear row first, then the two |x|-b rows.
+    np.testing.assert_allclose(vals, [-3.0, 1.0 - 1.5, 0.3 - 0.25], atol=1e-6)
+    assert bool(cc.is_violated(cc.get_values(x, u)))
+    x_ok = jnp.asarray([1.0, 0.0, -0.2, 0.0])
+    assert not bool(cc.is_violated(cc.get_values(x_ok, u)))
+    # State-only rows view picks up the symmetric rows.
+    sv = np.asarray(cc.get_state_values(x_ok))
+    np.testing.assert_allclose(sv, [1.0 - 1.5, 0.2 - 0.25], atol=1e-6)

@@ -1,9 +1,13 @@
 """Example scripts run headless (reference tests/test_examples/test_examples.py
 runs tracking.py and verbose_api.py with rewritten argv)."""
 
+import pytest
 import os
 import subprocess
 import sys
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from the fast CI shard
+
 
 HERE = os.path.dirname(__file__)
 EXAMPLES = os.path.join(HERE, "..", "examples")

@@ -15,6 +15,9 @@ from safe_control_gym_tpu.parallel import make_vec_env
 from safe_control_gym_tpu.parallel.fast_env import FastQuadRollout, supports
 from safe_control_gym_tpu.parallel.rollout import EpisodeStats, RolloutCarry, rollout
 
+pytestmark = pytest.mark.slow  # heavyweight: excluded from the fast CI shard
+
+
 B = 1024
 
 

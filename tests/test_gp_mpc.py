@@ -1,11 +1,15 @@
 """GP-MPC: residual learning improves the prior model; solver runs."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from safe_control_gym_tpu.controllers.gp_mpc import GPMPC
 from safe_control_gym_tpu.envs.quadrotor import QuadrotorConfig, make_quadrotor
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from the fast CI shard
+
 
 
 def test_gp_mpc_learns_residual_and_controls():

@@ -1,6 +1,7 @@
 """MPC family tests: nonlinear MPC, LinearMPC, constraint satisfaction,
 batched solving."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +10,9 @@ from safe_control_gym_tpu.envs.cartpole import CartPoleConfig, make_cartpole
 from safe_control_gym_tpu.envs.quadrotor import QuadrotorConfig, make_quadrotor
 from safe_control_gym_tpu.controllers.linear_mpc import LinearMPC
 from safe_control_gym_tpu.controllers.mpc import MPC
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from the fast CI shard
+
 
 
 def _closed_loop(env, ctrl, T):

@@ -21,6 +21,9 @@ from safe_control_gym_tpu.competition.scenarios import (
 )
 from safe_control_gym_tpu.competition.competition_utils import Command
 
+pytestmark = pytest.mark.slow  # heavyweight: excluded from the fast CI shard
+
+
 DELTA = 0.01
 G1 = {1: [1, 2, 3, 0, 0, 0, 0], 2: [1, 2, 3, 0, 0, 0, 0], 3: [1, 2, 3, 0, 0, 0, 0]}
 G2 = {1: [1, 2, 3, 0, 0, 0, 0], 2: [1, 2 + DELTA, 3, 0, 0, 0, 0], 3: [1, 2, 3, 0, 0, 0, 0]}

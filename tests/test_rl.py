@@ -18,6 +18,9 @@ from safe_control_gym_tpu.controllers.safe_explorer import SafeExplorerPPO
 from safe_control_gym_tpu.controllers.rarl import RARL, RAP
 from safe_control_gym_tpu.controllers.cbf import CBF_QP
 
+pytestmark = pytest.mark.slow  # heavyweight: excluded from the fast CI shard
+
+
 
 def _cartpole(**kw):
     cfg = dict(
@@ -164,3 +167,24 @@ def test_cbf_higher_dim_barrier():
     # Grid check over the 4D barrier box (coarse grid to keep it quick).
     ok, infeasible = cbf.is_cbf(num_points=5)
     assert isinstance(ok, bool)
+
+
+def test_rarl_on_cartpole():
+    """The reference's canonical RARL task is cartpole; the adversary channel
+    is env-generic (benchmark_env.py:256-266)."""
+    env = _cartpole(adversary_disturbance="dynamics",
+                    adversary_disturbance_scale=0.1, episode_len_sec=2)
+    rarl = RARL(env, seed=0, rollout_batch_size=4, rollout_steps=25, opt_epochs=2,
+                mini_batch_size=50)
+    s, m = rarl._train_pro(rarl.state)
+    s, _ = rarl._train_adv(s)
+    assert np.isfinite(float(jax.device_get(m["kl"])))
+    rarl.state = s
+    a = rarl.select_action(np.zeros(4))
+    assert a.shape == (1,)
+
+    env2 = _cartpole(adversary_disturbance="action", episode_len_sec=2)
+    rarl2 = RARL(env2, seed=0, rollout_batch_size=4, rollout_steps=25, opt_epochs=2,
+                 mini_batch_size=50)
+    s2, m2 = rarl2._train_pro(rarl2.state)
+    assert np.isfinite(float(jax.device_get(m2["kl"])))

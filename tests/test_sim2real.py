@@ -1,5 +1,6 @@
 """Sim2real tooling tests (reference dev-sim2real analysis scripts)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -10,6 +11,9 @@ from safe_control_gym_tpu.competition.sim2real import (
     fit_quad3d_params,
     load_flight_csv,
 )
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from the fast CI shard
+
 
 
 def _fake_trial(t0=0.0, n=100, hz=50.0, noise=0.0, seed=0):
