@@ -151,9 +151,14 @@ class Controller:
                 # own TOPP speed profile; allow modest overspeed only.
                 mpcc = MPCCController(
                     self.flight_traj, self.CTRL_TIMESTEP, gate_thetas=gate_thetas,
+                    gate_positions=[gp for gp, _ in gate_poses],
+                    obstacle_positions=[list(o)[:2] for o in obstacles],
                     theta_dot_max=1.0,
                 )
-                stages.append(StageActionMPCC(self.CTRL_FREQ, mpcc))
+                stages.append(StageActionMPCC(
+                    self.CTRL_FREQ, mpcc,
+                    gate_centers=[gp for gp, _ in gate_poses],
+                ))
             else:
                 stages.append(
                     StageActionSpline(
@@ -162,8 +167,13 @@ class Controller:
                         # the effective aperture margin is only ~0.14 m
                         # (inner half-edge minus drone radius), so tracking
                         # error at gates decides collisions.
+                        # Wide smooth Gaussian slowdown: decelerate early
+                        # enough that the stock-gain Mellinger (KD_OMEGA_RP
+                        # = 200) sheds cross-track error before the aperture
+                        # (level0 4/4, reward 600 vs 500 at the old 0.5 m
+                        # hard-switch radius).
                         gate_centers=[gp for gp, _ in gate_poses],
-                        gate_slow_scale=0.45, gate_slow_radius=0.5,
+                        gate_slow_scale=0.45, gate_slow_radius=0.9,
                     )
                 )
         stages += [StageActionLand(self.CTRL_FREQ), StageActionFinished()]

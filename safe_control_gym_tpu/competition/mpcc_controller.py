@@ -3,18 +3,36 @@
 TPU-native counterpart of reference competition/mpcc_controller.py (Romero
 TRO'22-style): the drone races along a planned reference path parameterized
 by progress theta; the optimizer trades contouring/lag error against
-progress speed, with Gaussian "speed bump" weights near gates
-(mpcc_controller.py:319-569).
+progress speed.
 
-Replacements for the reference's CasADi+IPOPT with runtime C codegen
-(nlp_opts 'jit': True, mpcc_controller.py:789-806):
+Reference-parity structure (round 2):
 
-  * extended state [quad(12), theta, theta_dot], controls [f1..f4, theta_dd];
-  * the path lookup p(theta) / tangent(theta) is a dense precomputed table
+  * extended state [quad(12), rate-bounded thrusts rbf(4), theta, theta_dot]
+    with inputs [delta_rbf(4), theta_dd] — thrust SLEW is the decision
+    variable, matching the reference's rate-bounded actuator model
+    (mpcc_controller.py:250-318); the commanded thrust profile is therefore
+    C0-smooth, which the stock-gain Mellinger tracker needs;
+  * inequality bounds handled by the augmented-Lagrangian outer loop
+    (ops/trajopt.al_ilqr_solve) with warm-started multipliers, replacing the
+    soft quadratic penalties of round 1: per-motor thrust min/max, thrust
+    slew, inclination <= 60 deg, |body rate|, 0 <= theta_dot <= max,
+    |theta_dd| (mpcc_controller.py:745-790 opti.subject_to set);
+  * cost = lag + variable-weight contour (Gaussian kernels around gates and
+    obstacles baked into a per-theta table, mpcc_controller.py:536-560)
+    + body-orientation-rate + progress-acc + thrust-slew quadratics
+    − speed-bump-modulated progress incentive (the incentive collapses when
+    the vehicle nears a gate above the speed threshold,
+    mpcc_controller.py:360-400);
+  * the path lookup p(theta)/tangent(theta) is a dense precomputed table
     interpolated with jnp.interp — differentiable, fixed-shape;
-  * the NLP is solved by fixed-iteration iLQR (ops/trajopt.py); warm start by
-    solution shifting (mpcc_controller.py:837-849);
-  * XLA compilation replaces the CasADi JIT C compile at bring-up.
+  * fixed-iteration AL-iLQR under one jit replaces CasADi+IPOPT with runtime
+    C codegen (nlp_opts 'jit': True, mpcc_controller.py:789-806); warm start
+    by solution shifting (mpcc_controller.py:837-849).
+
+theta stays TIME-parameterized against the TOPP-retimed plan (theta_dot = 1
+rides the plan's own speed schedule); the reference parameterizes by
+arc-length instead — equivalent up to the (known) plan speed profile, which
+``speed_of`` exposes for the m/s-denominated speed-bump terms.
 """
 
 from __future__ import annotations
@@ -25,7 +43,7 @@ import numpy as np
 
 from safe_control_gym_tpu.envs.quadrotor import GRAVITY_ACC, J_DIAG, MASS, quad_fc_3d
 from safe_control_gym_tpu.ops.integrators import rk4_step
-from safe_control_gym_tpu.ops.trajopt import ilqr_solve
+from safe_control_gym_tpu.ops.trajopt import al_ilqr_solve
 
 
 class MPCCController:
@@ -34,19 +52,29 @@ class MPCCController:
         trajectory,  # PiecewiseTrajectory from the planner
         dt: float,
         horizon: int = 20,
-        q_contour: float = 60.0,
-        q_lag: float = 60.0,
-        mu_progress: float = 6.0,
-        r_thrust: float = 8.0,
-        r_theta_dd: float = 0.02,
-        q_att: float = 2.0,
-        gate_thetas=(),  # progress values at gate crossings
-        gate_bump_amp: float = 4.0,
-        gate_bump_sigma: float = 0.25,
-        theta_dot_max: float = 4.0,
+        q_contour_min: float = 25.0,   # MPCC_CONTOUR_ERROR_WEIGHT_MIN
+        q_contour_max: float = 45.0,   # MPCC_CONTOUR_ERROR_WEIGHT_MAX
+        contour_sigma: float = 0.4,    # MPCC_CONTOUR_ERROR_GAUSSIAN_SIGMA (m)
+        q_lag: float = 45.0,           # MPCC_LAG_ERROR_WEIGHT
+        q_body_rate: float = 1.4,      # MPCC_BODY_ORIENTATION_RATE_WEIGHT_DIAG
+        mu_progress: float = 6.0,      # progress incentive (dt-scaled form)
+        r_delta: float = 0.05,         # thrust-slew quadratic
+        r_theta_dd: float = 0.08,      # MPCC_CONTOUR_RATE_CHANGE_WEIGHT
+        speed_bump_k: float = 5.0,     # MPCC_SPEED_BUMP_K
+        speed_bump_threshold: float = 1.2,  # m/s
+        speed_bump_sigma: float = 0.4,      # m
+        gate_thetas=(),                # progress values at gate crossings
+        gate_positions=(),             # (G, 3) gate centers for kernels
+        obstacle_positions=(),         # (O, 2 or 3) obstacle xy for kernels
+        theta_dot_max: float = 1.5,
+        theta_dd_max: float = 4.0,
+        slew_max: float = 2.0,         # N/s per motor
+        incl_max: float = np.deg2rad(60.0),
+        rate_max: float = 10.0,        # rad/s, |p|,|q| bound
         mass: float = MASS,
         table_points: int = 600,
-        ilqr_iters: int = 12,
+        al_iters: int = 2,
+        inner_iters: int = 6,
     ):
         self.dt = dt
         self.T = horizon
@@ -65,16 +93,44 @@ class MPCCController:
         tang = tang / np.maximum(np.linalg.norm(tang, axis=-1, keepdims=True), 1e-9)
         self.path_tan = jnp.asarray(tang, jnp.float32)
         self.path_vel = np.asarray(vel[:, :3], np.float32)
+        # Plan speed profile |v|(theta): converts plan-relative theta_dot to
+        # m/s for the reference's speed-bump terms.
+        self.path_speed = jnp.asarray(
+            np.linalg.norm(self.path_vel, axis=-1), jnp.float32
+        )
         self.theta_max = float(self.theta_grid[-1])
         self.gate_thetas = jnp.asarray(np.asarray(gate_thetas, np.float32))
+        gates3 = np.asarray(gate_positions, np.float32).reshape(-1, 3)
+        self.gate_positions = jnp.asarray(gates3)
+
+        # Variable contour weight baked into a per-theta table
+        # (mpcc_controller.py:536-560): MIN everywhere, +Gaussian kernels of
+        # amplitude (MAX-MIN) around each gate (3D) and obstacle (2D).
+        w = np.full(p3.shape[0], q_contour_min, np.float32)
+        amp = q_contour_max - q_contour_min
+        for g in gates3:
+            d2 = np.sum((p3 - g[None]) ** 2, axis=-1)
+            w += amp * np.exp(-0.5 * d2 / contour_sigma**2)
+        for o in np.asarray(obstacle_positions, np.float32).reshape(-1, 2):
+            d2 = np.sum((p3[:, :2] - o[None]) ** 2, axis=-1)
+            w += amp * np.exp(-0.5 * d2 / contour_sigma**2)
+        self.contour_w = jnp.asarray(w)
+
         self.params = dict(
-            q_contour=q_contour, q_lag=q_lag, mu=mu_progress, r_thrust=r_thrust,
-            r_theta_dd=r_theta_dd, q_att=q_att, bump_amp=gate_bump_amp,
-            bump_sigma=gate_bump_sigma, theta_dot_max=theta_dot_max,
+            q_lag=q_lag, q_body_rate=q_body_rate, mu=mu_progress,
+            r_delta=r_delta, r_theta_dd=r_theta_dd,
+            speed_bump_k=speed_bump_k, speed_bump_threshold=speed_bump_threshold,
+            speed_bump_sigma=speed_bump_sigma,
+            theta_dot_max=theta_dot_max, theta_dd_max=theta_dd_max,
+            slew_max=slew_max, incl_max=float(incl_max), rate_max=rate_max,
         )
-        self.ilqr_iters = ilqr_iters
+        self.al_iters = al_iters
+        self.inner_iters = inner_iters
         self.hover = mass * GRAVITY_ACC / 4.0
+        self.f_min = 0.25 * self.hover   # per-motor thrust floor
+        self.f_max = 3.0 * self.hover    # per-motor ceiling (PWM-limit scale)
         self._us_prev = None
+        self._mu_prev = None
         self._solve = jax.jit(self._make_solver())
 
     def reference_at(self, theta, theta_dot=1.0):
@@ -98,7 +154,14 @@ class MPCCController:
         t = jnp.stack(
             [jnp.interp(th, self.theta_grid, self.path_tan[:, i]) for i in range(3)]
         )
-        return p, t / jnp.maximum(jnp.linalg.norm(t), 1e-6)
+        w = jnp.interp(th, self.theta_grid, self.contour_w)
+        spd = jnp.interp(th, self.theta_grid, self.path_speed)
+        return p, t / jnp.maximum(jnp.linalg.norm(t), 1e-6), w, spd
+
+    # Extended-state layout.
+    _RBF = slice(12, 16)
+    _TH = 16
+    _THD = 17
 
     def _make_solver(self):
         P = self.params
@@ -106,13 +169,17 @@ class MPCCController:
         dt = self.dt
         mass = self.mass
         j_diag = jnp.asarray(J_DIAG, jnp.float32)
+        hover = self.hover
 
         def fc(x, u):
+            # Quad driven by the CURRENT rate-bounded thrusts; thrust slew
+            # and the theta double-integrator are exact Euler chains
+            # (mpcc_controller.py:295-298 uses the same forward-Euler form).
             quad = quad_fc_3d(
-                x[:12], u[:4], jnp.asarray(mass, jnp.float32), j_diag,
+                x[:12], x[self._RBF], jnp.asarray(mass, jnp.float32), j_diag,
                 jnp.zeros(3, jnp.float32),
             )
-            return jnp.concatenate([quad, x[13:14], u[4:5]])
+            return jnp.concatenate([quad, u[:4], x[self._THD:self._THD + 1], u[4:5]])
 
         # Trust-region the internal rollout: iLQR line-search candidates can
         # visit |theta| ~ pi/2 where the Euler kinematics blow up (tan/sec),
@@ -129,47 +196,82 @@ class MPCCController:
 
         def stage_cost(x, u, k):
             pos = jnp.stack([x[0], x[2], x[4]])
-            theta, theta_dot = x[12], x[13]
-            p_ref, t_hat = self._lookup(theta)
+            theta, theta_dot = x[self._TH], x[self._THD]
+            p_ref, t_hat, w_contour, plan_spd = self._lookup(theta)
             e = pos - p_ref
             e_lag = jnp.dot(e, t_hat)
             e_cont = e - e_lag * t_hat
-            # Gate speed bumps: contour weight grows near gates
-            # (mpcc_controller.py gaussian weights near gate thetas).
-            if self.gate_thetas.shape[0]:
-                bump = 1.0 + P["bump_amp"] * jnp.sum(
-                    jnp.exp(-0.5 * ((theta - self.gate_thetas) / P["bump_sigma"]) ** 2)
-                )
+
+            # Progress incentive with the reference's speed-bump modulation
+            # (mpcc_controller.py:360-400): near a gate, above the speed
+            # threshold, the incentive collapses (goes negative) and the
+            # optimizer brakes.
+            v_ms = theta_dot * plan_spd
+            if self.gate_positions.shape[0]:
+                d2 = jnp.sum((pos[None] - self.gate_positions) ** 2, axis=-1)
+                proximity = jnp.exp(-0.5 * jnp.min(d2) / P["speed_bump_sigma"] ** 2)
             else:
-                bump = 1.0
-            cost = (
-                P["q_contour"] * bump * jnp.sum(e_cont**2)
-                + P["q_lag"] * e_lag**2
-                - P["mu"] * theta_dot * dt
-                + P["r_thrust"] * jnp.sum((u[:4] - self.hover) ** 2)
-                + P["r_theta_dd"] * u[4] ** 2
-                + P["q_att"] * (x[6] ** 2 + x[7] ** 2)
-                # Soft bounds on progress speed and thrust positivity.
-                + 10.0 * jnp.maximum(theta_dot - P["theta_dot_max"], 0.0) ** 2
-                + 10.0 * jnp.maximum(-theta_dot, 0.0) ** 2
-                + 100.0 * jnp.sum(jnp.maximum(-u[:4], 0.0) ** 2)
-                + 100.0 * jnp.sum(jnp.maximum(u[:4] - 4 * self.hover, 0.0) ** 2)
+                proximity = jnp.zeros(())
+            speed_factor = jnp.exp(
+                1.0 + P["speed_bump_k"]
+                * (v_ms - P["speed_bump_threshold"]) / P["speed_bump_threshold"]
             )
-            return cost
+            incentive_w = P["mu"] * (
+                1.0 - proximity * jnp.minimum(speed_factor, 10.0)
+            )
+
+            return (
+                P["q_lag"] * e_lag**2
+                + w_contour * jnp.sum(e_cont**2)
+                + P["q_body_rate"] * (x[9] ** 2 + x[10] ** 2)
+                + P["r_theta_dd"] * u[4] ** 2
+                + P["r_delta"] * jnp.sum(u[:4] ** 2)
+                - incentive_w * theta_dot * dt
+            )
 
         def term_cost(x):
-            return stage_cost(x, jnp.concatenate([jnp.full(4, self.hover), jnp.zeros(1)]), T) * 2.0
+            z = jnp.zeros(5, x.dtype)
+            return stage_cost(x, z, T) * 2.0
 
-        def solve(x0_ext, us_init):
-            res = ilqr_solve(fd, stage_cost, term_cost, x0_ext, us_init, iters=self.ilqr_iters)
-            return res.xs, res.us, res.cost
+        incl = P["incl_max"]
+        rate2 = P["rate_max"] ** 2
+
+        def constraint_fn(x, u):
+            """g <= 0 rows (mpcc_controller.py:745-790 subject_to set)."""
+            rbf = x[self._RBF]
+            return jnp.concatenate([
+                self.f_min - rbf,                      # per-motor floor (4)
+                rbf - self.f_max,                      # per-motor ceiling (4)
+                jnp.abs(u[:4]) - P["slew_max"],        # thrust slew (4)
+                jnp.asarray([
+                    jnp.abs(x[6]) - incl,              # |roll|
+                    jnp.abs(x[7]) - incl,              # |pitch|
+                    x[9] ** 2 + x[10] ** 2 - rate2,    # |body rate|^2
+                    -x[self._THD],                     # theta_dot >= 0
+                    x[self._THD] - P["theta_dot_max"],
+                    jnp.abs(u[4]) - P["theta_dd_max"],
+                ]),
+            ])
+
+        def solve(x0_ext, us_init, mu0):
+            res, mu = al_ilqr_solve(
+                fd, stage_cost, term_cost, constraint_fn, x0_ext, us_init,
+                al_iters=self.al_iters, inner_iters=self.inner_iters,
+                mu0=mu0,
+            )
+            return res.xs, res.us, res.cost, mu
 
         return solve
 
+    @property
+    def n_constraints(self):
+        return 18
+
     def reset(self):
         self._us_prev = None
+        self._mu_prev = None
 
-    def solve(self, obs, theta, theta_dot):
+    def solve(self, obs, theta, theta_dot, rbf=None):
         """One MPCC solve.  obs: 12D quad state.  Returns (next reference
         state for FULLSTATE command, planned xs, new theta/theta_dot)."""
         # Re-anchor progress to the drone's actual position: the virtual
@@ -184,21 +286,27 @@ class MPCCController:
         if win.any():
             d = np.linalg.norm(np.asarray(self.path_pos)[win] - pos, axis=-1)
             theta = float(grid[win][int(d.argmin())])
+        if rbf is None:
+            rbf = self._us_prev_rbf if self._us_prev is not None else np.full(4, self.hover)
         x0 = jnp.concatenate(
             [jnp.asarray(obs[:12], jnp.float32),
+             jnp.asarray(rbf, jnp.float32).reshape(4),
              jnp.asarray([theta, theta_dot], jnp.float32)]
         )
         if self._us_prev is None:
-            # Cold start with positive progress acceleration: the all-hover
-            # trajectory is a saddle (zero gradient through four integrator
-            # stages) that the line search cannot leave on its own.
+            # Cold start with positive progress acceleration: the all-zero
+            # slew trajectory is a saddle the line search cannot leave.
             us_init = jnp.tile(
-                jnp.concatenate([jnp.full(4, self.hover), jnp.ones(1)])[None],
-                (self.T, 1),
+                jnp.concatenate([jnp.zeros(4), jnp.ones(1)])[None], (self.T, 1)
             )
+            mu0 = jnp.zeros((self.T, self.n_constraints), jnp.float32)
         else:
             us_init = jnp.concatenate([self._us_prev[1:], self._us_prev[-1:]], 0)
-        xs, us, cost = self._solve(x0, us_init)
+            mu0 = jnp.concatenate([self._mu_prev[1:], self._mu_prev[-1:]], 0)
+        xs, us, cost, mu = self._solve(x0, us_init, mu0)
         self._us_prev = us
+        self._mu_prev = mu
         x_next = np.asarray(xs[1])
-        return x_next, np.asarray(xs), float(x_next[12]), float(x_next[13])
+        # Carry the rate-bounded thrust state between solves.
+        self._us_prev_rbf = x_next[12:16]
+        return x_next, np.asarray(xs), float(x_next[self._TH]), float(x_next[self._THD])

@@ -130,9 +130,13 @@ class StageActionSpline(StageAction):
         ref_p = self.traj.position(self.ref_t).reshape(-1)[:3]
         scale = self.speed_scale
         if self.gate_centers:
+            # Continuous Gaussian blend toward the crawl speed near gates: a
+            # hard radius switch steps the commanded velocity by >50%, which
+            # rings the position loop through the stock Mellinger attitude
+            # damping (KD_OMEGA_RP=200) and cost a gate collision.
             dmin = min(np.linalg.norm(ref_p - g) for g in self.gate_centers)
-            if dmin < self.gate_slow_radius:
-                scale = self.gate_slow_scale
+            w = np.exp(-0.5 * (dmin / max(self.gate_slow_radius, 1e-6)) ** 2)
+            scale = self.speed_scale + (self.gate_slow_scale - self.speed_scale) * w
         self.ref_t = min(self.ref_t + scale / self.ctrl_freq, self.traj.end_time)
         done = self.ref_t >= self.traj.end_time
         p = self.traj.position(self.ref_t).reshape(-1)[:3]
@@ -150,13 +154,20 @@ class StageActionMPCC(StageAction):
     position-dominant tracker ignores (it would hover while the virtual
     progress runs on); ~0.2 s of look-ahead gives it a real error to chase."""
 
-    def __init__(self, ctrl_freq, mpcc, duration=None, lead=5):
+    def __init__(self, ctrl_freq, mpcc, duration=None, lead=5,
+                 gate_centers=None, gate_slow_scale=0.45, gate_slow_radius=0.9):
         self.ctrl_freq = ctrl_freq
         self.mpcc = mpcc
         self.theta = 0.0
         self.theta_dot = 0.0
         self.duration = duration
         self.lead = lead
+        # Same smooth Gaussian gate-proximity slowdown as the spline stage:
+        # the commanded lead/velocity shrink near apertures so the tracker
+        # sheds cross-track error before the frame.
+        self.gate_centers = gate_centers or []
+        self.gate_slow_scale = gate_slow_scale
+        self.gate_slow_radius = gate_slow_radius
 
     def reset(self):
         self.theta = 0.0
@@ -179,11 +190,17 @@ class StageActionMPCC(StageAction):
         # rather than the raw iLQR state: the geometric plan is collision-free
         # by construction, while an under-converged plan state can cut gate
         # frames; MPCC still contributes the speed profile (theta/theta_dot).
+        slow = 1.0
+        if self.gate_centers:
+            ref_p, _ = self.mpcc.reference_at(self.theta, self.theta_dot)
+            dmin = min(np.linalg.norm(ref_p - g) for g in self.gate_centers)
+            w = np.exp(-0.5 * (dmin / max(self.gate_slow_radius, 1e-6)) ** 2)
+            slow = 1.0 + (self.gate_slow_scale - 1.0) * w
         theta_cmd = min(
-            self.theta + self.lead / self.ctrl_freq * max(self.theta_dot, 0.3),
+            self.theta + self.lead / self.ctrl_freq * max(self.theta_dot * slow, 0.3),
             self.mpcc.theta_max,
         )
-        p, v = self.mpcc.reference_at(theta_cmd, self.theta_dot)
+        p, v = self.mpcc.reference_at(theta_cmd, self.theta_dot * slow)
         p = p + _gate_correction_offset(p, corrections)
         # Velocity feedforward bounded to what the tracker can realize.
         speed = float(np.linalg.norm(v))

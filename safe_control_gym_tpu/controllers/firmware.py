@@ -63,26 +63,63 @@ class Lpf2p:
         return out
 
 
-def _min_jerk(p0, v0, p1, duration, t):
-    """Quintic minimum-jerk interpolation p0 -> p1 with zero end velocity."""
-    T = max(duration, 1e-6)
-    s = np.clip(t / T, 0.0, 1.0)
-    h = 10 * s**3 - 15 * s**4 + 6 * s**5
-    h_dot = (30 * s**2 - 60 * s**3 + 30 * s**4) / T
-    pos = p0 + (p1 - p0) * h + v0 * T * (s - h) * 0  # zero-velocity variant
-    vel = (p1 - p0) * h_dot
-    return pos, vel
+def _poly7_nojerk(T, x0, dx0, ddx0, xf, dxf, ddxf):
+    """7th-order polynomial coefficients (ascending), matching the firmware
+    planner's ``poly7_nojerk`` (crazyflie-firmware pptraj.c, reached via
+    crtpCommanderHighLevelTakeoff/Land/GoTo -> plan_* ->
+    piecewise_plan_7th_order_no_jerk): boundary conditions
+    p(0)=x0, p'(0)=dx0, p''(0)=ddx0, p'''(0)=0 and the same at T with
+    (xf, dxf, ddxf, 0).  Solved as the 8x8 linear system directly (exact,
+    no transcribed closed forms)."""
+    T = max(float(T), 1e-6)
+    A = np.zeros((8, 8))
+    # p(0), p'(0), p''(0), p'''(0)
+    A[0, 0] = 1.0
+    A[1, 1] = 1.0
+    A[2, 2] = 2.0
+    A[3, 3] = 6.0
+    powers = T ** np.arange(8, dtype=float)
+    k = np.arange(8, dtype=float)
+    A[4] = powers  # p(T)
+    A[5, 1:] = k[1:] * powers[:-1]  # p'(T)
+    A[6, 2:] = k[2:] * (k[2:] - 1) * powers[:-2]  # p''(T)
+    A[7, 3:] = k[3:] * (k[3:] - 1) * (k[3:] - 2) * powers[:-3]  # p'''(T)
+    b = np.array([x0, dx0, ddx0, 0.0, xf, dxf, ddxf, 0.0])
+    return np.linalg.solve(A, b)
+
+
+def _poly_eval(c, t):
+    """(pos, vel, acc) of an ascending-coefficient polynomial at t."""
+    k = np.arange(len(c), dtype=float)
+    tp = t ** k
+    pos = float(np.dot(c, tp))
+    vel = float(np.dot(c[1:] * k[1:], tp[:-1]))
+    acc = float(np.dot(c[2:] * k[2:] * (k[2:] - 1), tp[:-2]))
+    return pos, vel, acc
 
 
 class FirmwareWrapper:
     """Reference-compatible SITL wrapper (reset/step + send*Cmd API)."""
 
+    # Configurable hardware-response delays (reference firmware_wrapper.py:14-16,
+    # 129-131): firmware loops between commanding an action and the motors
+    # responding (ACTION_DELAY), and between a motion and the sensors
+    # registering it (SENSOR_DELAY).  STATE_DELAY is unsupported upstream too.
     ACTION_DELAY = 0
     SENSOR_DELAY = 0
+    STATE_DELAY = 0
     GYRO_LPF_CUTOFF_FREQ = 80.0
     ACCEL_LPF_CUTOFF_FREQ = 30.0
 
-    def __init__(self, env_func, firmware_freq: int = 500, ctrl_freq: int = 25, verbose=False, **kwargs):
+    def __init__(self, env_func, firmware_freq: int = 500, ctrl_freq: int = 25,
+                 verbose=False, action_delay: int = None, sensor_delay: int = None,
+                 **kwargs):
+        if action_delay is not None:
+            self.ACTION_DELAY = int(action_delay)
+        if sensor_delay is not None:
+            self.SENSOR_DELAY = int(sensor_delay)
+        if self.STATE_DELAY:
+            raise NotImplementedError("State delay is not implemented. Leave at 0.")
         self.env = env_func() if callable(env_func) else env_func
         assert self.env.ctrl_freq == firmware_freq, (
             "the wrapped env must run at the firmware frequency "
@@ -105,14 +142,26 @@ class FirmwareWrapper:
         self.command_queue: list = []
         self.tumble_counter = 0
         self._error = False
+        # Delay ring buffers (firmware_wrapper.py:129-131).
+        self.action_history = [np.zeros(4) for _ in range(self.ACTION_DELAY)]
+        self.sensor_history = [
+            [np.zeros(3), np.zeros(3)] for _ in range(self.SENSOR_DELAY)
+        ]
         self.full_state_cmd_override = True  # until a HL command is sent
         self.setpoint = {
             "pos": np.zeros(3), "vel": np.zeros(3), "acc": np.zeros(3),
             "yaw": 0.0, "omega": np.zeros(3),
         }
         self._plan = None  # (kind, t0, duration, p0, p1, yaw0, yaw1)
-        self.acclpf = [Lpf2p(self.firmware_freq, self.ACCEL_LPF_CUTOFF_FREQ) for _ in range(3)]
-        self.gyrolpf = [Lpf2p(self.firmware_freq, self.GYRO_LPF_CUTOFF_FREQ) for _ in range(3)]
+        # NOTE: the reference initializes acclpf with GYRO_LPF_CUTOFF_FREQ and
+        # gyrolpf with ACCEL_LPF_CUTOFF_FREQ — the cutoffs are swapped
+        # relative to their names (firmware_wrapper.py:137-138).  The swap is
+        # load-bearing: the 30 Hz gyro LPF is what keeps the stock
+        # KD_OMEGA_RP=200 derivative term stable.  Reproduced exactly.
+        self.acclpf = [Lpf2p(self.firmware_freq, self.GYRO_LPF_CUTOFF_FREQ) for _ in range(3)]
+        self.gyrolpf = [Lpf2p(self.firmware_freq, self.ACCEL_LPF_CUTOFF_FREQ) for _ in range(3)]
+        self.last_pos_pid_call = 0.0
+        self.last_att_pid_call = 0.0
         self.env_state, obs, info = self._env_reset(jax.random.key(seed))
         o = np.asarray(obs)
         self.prev_vel = np.array([o[1], o[3], o[5]])
@@ -142,11 +191,20 @@ class FirmwareWrapper:
             self.prev_rpy = cur_rpy
             acc = (cur_vel - self.prev_vel) / self.firmware_dt / 9.8 + np.array([0, 0, 1.0])
             self.prev_vel = cur_vel
-            gyro = np.array([self.gyrolpf[i].apply(rates[i]) for i in range(3)])
-            acc_f = np.array([self.acclpf[i].apply(acc[i]) for i in range(3)])
+            # Sensor delay (firmware_wrapper.py:264-268): the controller sees
+            # the measurement from SENSOR_DELAY loops ago; LPFs apply at
+            # sensorData-update time, i.e. on the delayed sample.
+            if self.SENSOR_DELAY:
+                acc_meas, rates_meas = self.sensor_history[0]
+                self.sensor_history = self.sensor_history[1:] + [[acc, rates]]
+            else:
+                acc_meas, rates_meas = acc, rates
+            gyro = np.array([self.gyrolpf[i].apply(rates_meas[i]) for i in range(3)])
+            acc_f = np.array([self.acclpf[i].apply(acc_meas[i]) for i in range(3)])
 
-            # Tumble detection (firmware_wrapper.py:421-431).
-            if acc_f[2] < -0.5:
+            # Tumble detection (firmware_wrapper.py:421-431) — the reference
+            # checks state.acc.z, the UNFILTERED undelayed world acc.
+            if acc[2] < -0.5:
                 self.tumble_counter += 1
             else:
                 self.tumble_counter = 0
@@ -157,10 +215,21 @@ class FirmwareWrapper:
             # Setpoint update from the active HL plan.
             self._update_setpoint(self.tick / self.firmware_freq)
 
-            # Controller tick gating: Mellinger runs at every other 1 kHz
-            # tick (RATE_DO_EXECUTE(ATTITUDE_RATE=500)); our loop runs at
-            # 500 Hz, so every iteration executes.
-            if not self._error:
+            # Controller tick gating (firmware_wrapper.py:433-446): attitude
+            # PID when >2 ms since the last call, position PID when >10 ms;
+            # controllerMellinger executes on the attitude cadence
+            # (RATE_DO_EXECUTE(ATTITUDE_RATE)), PWMs zero-order-hold between
+            # executions.  With cur_time = tick/500 the float comparison
+            # fires every OTHER loop — the reference's effective 250 Hz.
+            cur_time = self.tick / self.firmware_freq
+            if cur_time - self.last_att_pid_call > 0.002:
+                run_ctrl = True
+                self.last_att_pid_call = cur_time
+                if cur_time - self.last_pos_pid_call > 0.01:
+                    self.last_pos_pid_call = cur_time
+            else:
+                run_ctrl = False
+            if not self._error and run_ctrl:
                 control, self.ms = mellinger_control(
                     self.ms,
                     self.firmware_dt,
@@ -191,6 +260,12 @@ class FirmwareWrapper:
                 np.asarray(self.env.spaces.action_low, np.float32),
                 np.asarray(self.env.spaces.action_high, np.float32),
             )
+            # Action delay (firmware_wrapper.py:283-287): motors respond to
+            # the command issued ACTION_DELAY loops ago.
+            if self.ACTION_DELAY:
+                delayed = self.action_history[0]
+                self.action_history = self.action_history[1:] + [new_action]
+                new_action = delayed
             if self._error:
                 new_action = np.zeros(4)
                 done = True
@@ -238,23 +313,36 @@ class FirmwareWrapper:
         self._plan = None
         self.setpoint = {"pos": pos, "vel": vel, "acc": acc, "yaw": yaw, "omega": rpy_rate}
 
+    def _plan_poly7(self, t, duration, p1, yaw1):
+        """Plan a 7th-order no-jerk move from the CURRENT setpoint state to
+        (p1, yaw1) at rest — the firmware planner's plan_takeoff/plan_land/
+        plan_go_to shape (crtpCommanderHighLevel* -> pptraj poly7_nojerk)."""
+        p0 = np.asarray(self.setpoint["pos"], float)
+        v0 = np.asarray(self.setpoint["vel"], float)
+        a0 = np.asarray(self.setpoint["acc"], float)
+        coeffs = np.stack([
+            _poly7_nojerk(duration, p0[i], v0[i], a0[i], float(p1[i]), 0.0, 0.0)
+            for i in range(3)
+        ])
+        yaw_c = _poly7_nojerk(duration, float(self.setpoint["yaw"]), 0.0, 0.0,
+                              float(yaw1), 0.0, 0.0)
+        self._plan = ("poly7", t, max(float(duration), 1e-6), coeffs, yaw_c)
+
     def _takeoff(self, t, height, duration, yaw=0.0):
         self.full_state_cmd_override = False
-        p0 = np.array(self.setpoint["pos"])
-        p1 = np.array([p0[0], p0[1], height])
-        self._plan = ("goto", t, duration, p0, p1, self.setpoint["yaw"], yaw)
+        p0 = np.asarray(self.setpoint["pos"], float)
+        self._plan_poly7(t, duration, [p0[0], p0[1], height], yaw)
 
     def _land(self, t, height, duration, yaw=0.0):
         self.full_state_cmd_override = False
-        p0 = np.array(self.setpoint["pos"])
-        p1 = np.array([p0[0], p0[1], height])
-        self._plan = ("goto", t, duration, p0, p1, self.setpoint["yaw"], yaw)
+        p0 = np.asarray(self.setpoint["pos"], float)
+        self._plan_poly7(t, duration, [p0[0], p0[1], height], yaw)
 
     def _goto(self, t, pos, yaw, duration, relative):
         self.full_state_cmd_override = False
-        p0 = np.array(self.setpoint["pos"])
-        p1 = p0 + pos if relative else np.asarray(pos)
-        self._plan = ("goto", t, duration, p0, p1, self.setpoint["yaw"], yaw)
+        p0 = np.asarray(self.setpoint["pos"], float)
+        p1 = p0 + np.asarray(pos, float) if relative else np.asarray(pos, float)
+        self._plan_poly7(t, duration, p1, yaw)
 
     def _stop(self, t):
         self.full_state_cmd_override = False
@@ -268,10 +356,15 @@ class FirmwareWrapper:
     def _update_setpoint(self, t):
         if self.full_state_cmd_override or self._plan is None:
             return
-        kind, t0, duration, p0, p1, yaw0, yaw1 = self._plan
-        pos, vel = _min_jerk(p0, np.zeros(3), p1, duration, t - t0)
-        s = np.clip((t - t0) / max(duration, 1e-6), 0.0, 1.0)
+        kind, t0, duration, coeffs, yaw_c = self._plan
+        tau = float(np.clip(t - t0, 0.0, duration))
+        pva = np.array([_poly_eval(coeffs[i], tau) for i in range(3)])
+        yaw, yaw_rate, _ = _poly_eval(yaw_c, tau)
+        if t - t0 >= duration:
+            # Plan finished: hold the endpoint at rest (planner's hover hold).
+            pva[:, 1:] = 0.0
+            yaw_rate = 0.0
         self.setpoint = {
-            "pos": pos, "vel": vel, "acc": np.zeros(3),
-            "yaw": yaw0 + (yaw1 - yaw0) * s, "omega": np.zeros(3),
+            "pos": pva[:, 0], "vel": pva[:, 1], "acc": pva[:, 2],
+            "yaw": yaw, "omega": np.array([0.0, 0.0, yaw_rate]),
         }

@@ -36,11 +36,10 @@ KR_XY, KW_XY = 70000.0, 20000.0
 KI_M_XY, I_RANGE_M_XY = 0.0, 1.0
 KR_Z, KW_Z = 60000.0, 12000.0
 KI_M_Z, I_RANGE_M_Z = 500.0, 1500.0
-# Firmware default is 200, tuned against an 80 Hz-low-passed real gyro; fed
-# with the engine's noiseless analytic body rates that gain destabilizes the
-# attitude loop, so the emulator defaults to 30 (verified stable; the
-# firmware-wrapper sensor path applies the same LPFs as the C firmware).
-KD_OMEGA_RP = 30.0
+# Stock firmware gain (controller_mellinger.c kd_omega_rp = 200), run against
+# the 80 Hz-low-passed finite-difference gyro the wrapper computes — the same
+# signal path the real firmware sees (firmware_wrapper.py:248-268 + lpf2p).
+KD_OMEGA_RP = 200.0
 GRAVITY_MAG = 9.81
 THRUST_MIN, THRUST_MAX = 20000.0, 65535.0  # control thrust clamp (PWM units)
 MOMENT_CLAMP = 32000.0
@@ -181,17 +180,40 @@ class MellingerController:
         self._kf = KF
         self._scale, self._const, self._min_pwm = PWM2RPM_SCALE, PWM2RPM_CONST, MIN_PWM
         self._step_i = 0
+        self._make_lpf()
+
+    def _make_lpf(self):
+        # Same gyro conditioning as the SITL wrapper: finite-difference Euler
+        # rates through the reference's (swapped-cutoff) 30 Hz lpf2p — the
+        # stock KD_OMEGA_RP=200 derivative term is only stable against this
+        # filtered signal, not raw analytic body rates.
+        from safe_control_gym_tpu.controllers.firmware import FirmwareWrapper, Lpf2p
+
+        fs = 1.0 / self.dt
+        self._gyro_lpf = [
+            Lpf2p(fs, FirmwareWrapper.ACCEL_LPF_CUTOFF_FREQ) for _ in range(3)
+        ]
+        self._prev_rpy = None
 
     def reset(self):
         self.ms = MellingerState.create()
         self._step_i = 0
+        self._make_lpf()
 
     def select_action(self, obs, info=None):
         x = jnp.asarray(obs)
         pos = jnp.stack([x[0], x[2], x[4]])
         vel = jnp.stack([x[1], x[3], x[5]])
         rpy = x[6:9]
-        omega = x[9:12]
+        rpy_np = np.asarray(x[6:9], dtype=float)
+        if self._prev_rpy is None:
+            rates = np.zeros(3)
+        else:
+            rates = (rpy_np - self._prev_rpy) / self.dt
+        self._prev_rpy = rpy_np
+        omega = jnp.asarray(
+            [self._gyro_lpf[i].apply(rates[i]) for i in range(3)], x.dtype
+        )
         g = (
             self.x_goal
             if self.x_goal.ndim == 1
