@@ -52,10 +52,15 @@ class BaseController:
             self.state = pickle.load(f)
 
     # -- shared eval loop (mirrors e.g. mpc.py:366-466 / lqr.py:204-346) ----
-    def run(self, num_episodes: int = 1, max_steps: int | None = None, seed: int = 0):
+    def run(self, num_episodes: int = 1, max_steps: int | None = None, seed: int = 0,
+            analysis: bool = False, plot: bool = False, plot_dir: str = "."):
         """Batched evaluation: num_episodes environments in parallel, one
         scan.  Returns a results dict with per-step obs/action/reward stacks
-        and episode statistics (the reference's results_dict shape)."""
+        and episode statistics (the reference's results_dict shape).
+
+        ``analysis=True`` adds the reference's LQR-style post-analysis
+        (lqr_utils.py post_analysis): per-state RMSE vs the goal trajectory
+        (angle errors wrapped), optional state/input plots."""
         env = self.env
         B = num_episodes
         vec = make_vec_env(env, B, auto_reset=False)
@@ -83,7 +88,7 @@ class BaseController:
 
         (state, obs, done), traj = jax.lax.scan(body, (state, obs, jnp.zeros(B, bool)), None, length=T)
         traj = jax.device_get(traj)
-        return {
+        results = {
             "obs": traj["obs"],
             "action": traj["action"],
             "reward": traj["reward"],
@@ -92,6 +97,22 @@ class BaseController:
             "ep_returns": traj["reward"].sum(0),
             "ep_lengths": (~traj["done"]).sum(0) + 1,
         }
+        if analysis:
+            from safe_control_gym_tpu.utils.plotting import post_analysis
+
+            x_goal = np.asarray(env.x_goal)
+            nx = traj["obs"].shape[-1] if x_goal.ndim == 1 else x_goal.shape[-1]
+            if x_goal.ndim == 1:
+                goal = np.tile(x_goal[None], (traj["obs"].shape[0], 1))
+                nx = x_goal.shape[0]
+            else:
+                idx = np.clip(np.arange(traj["obs"].shape[0]), 0, x_goal.shape[0] - 1)
+                goal = x_goal[idx]
+            results["analysis"] = post_analysis(
+                goal, traj["obs"][:, 0, :nx], traj["action"][:, 0], env=env,
+                plot=plot, save_plot=plot, plot_dir=plot_dir,
+            )
+        return results
 
     def _policy(self, obs):
         """Pure single-obs policy used by run(); subclasses override."""

@@ -215,3 +215,56 @@ class MPC(BaseController):
             x0, ref, jnp.tile(self.u_eq[None], (self.T, 1)), self._mu_zeros()
         )
         return us[0]
+
+    def run(self, num_episodes: int = 1, max_steps: int | None = None, seed: int = 0,
+            analysis: bool = False, plot: bool = False, plot_dir: str = "."):
+        """Sequential evaluation with per-solve wall time.
+
+        Mirrors the reference MPC.run() results_dict (mpc.py:366-466):
+        warm-started solves in a host loop, ``t_wall`` recording each solve's
+        wall-clock (the reference stores IPOPT's t_wall_total, mpc.py:318),
+        goal/state/input stacks, and state RMSE.  For batched lockstep
+        throughput use ``solve_batch`` / the base class scan runner."""
+        import time as _time
+
+        env = self.env
+        results = {"obs": [], "action": [], "reward": [], "done": [],
+                   "t_wall": [], "ep_returns": []}
+        step1 = jax.jit(env.step)
+        reset1 = jax.jit(env.reset)
+        T_max = max_steps or env.max_episode_steps
+        for ep in range(num_episodes):
+            self.reset()
+            state, obs, _ = reset1(jax.random.fold_in(jax.random.key(seed), ep))
+            ep_ret = 0.0
+            for t in range(T_max):
+                t0 = _time.perf_counter()
+                act = self.select_action(np.asarray(obs))
+                jax.device_get(act)  # honest solve barrier
+                results["t_wall"].append(_time.perf_counter() - t0)
+                results["obs"].append(np.asarray(obs))
+                results["action"].append(np.asarray(act))
+                state, obs, rew, done, info = step1(state, jnp.asarray(act))
+                rew = float(rew)
+                ep_ret += rew
+                results["reward"].append(rew)
+                results["done"].append(bool(done))
+                if bool(done):
+                    break
+            results["ep_returns"].append(ep_ret)
+        for k in ("obs", "action", "reward", "done", "t_wall", "ep_returns"):
+            results[k] = np.asarray(results[k])
+        if analysis:
+            from safe_control_gym_tpu.utils.plotting import post_analysis
+
+            n = results["obs"].shape[0]
+            ref_traj = np.asarray(self.traj)
+            if self.task == Task.STABILIZATION:
+                goal = np.tile(ref_traj[0][None], (n, 1))
+            else:
+                goal = ref_traj[np.clip(np.arange(n), 0, ref_traj.shape[0] - 1)]
+            results["analysis"] = post_analysis(
+                goal, results["obs"][:, : self.model.nx], results["action"],
+                env=env, plot=plot, save_plot=plot, plot_dir=plot_dir,
+            )
+        return results

@@ -82,3 +82,73 @@ def plot_from_logs(log_dirs, metric: str, out_path: str | None = None, window: i
         fig.savefig(out_path, bbox_inches="tight", dpi=120)
         plt.close(fig)
     return grid, mean, std
+
+
+def post_analysis(goal_stack, state_stack, input_stack, env=None,
+                  state_labels=None, action_labels=None,
+                  plot: bool = False, save_plot: bool = False,
+                  plot_dir: str = ".", ite_counter: int = 0):
+    """Trajectory post-analysis (reference lqr_utils.py post_analysis):
+    per-state RMSE (angle errors wrapped to [-pi, pi]) and optional
+    state/input trajectory plots vs the goal.
+
+    Returns {"state_rmse": (nx,), "state_rmse_scalar": float}.
+    """
+    goal_stack = np.asarray(goal_stack)
+    state_stack = np.asarray(state_stack)
+    input_stack = np.asarray(input_stack)
+    n = min(goal_stack.shape[0], state_stack.shape[0])
+    err = state_stack[:n] - goal_stack[:n]
+    if state_labels is None and env is not None:
+        try:
+            from safe_control_gym_tpu.envs import quadrotor as _q
+            labels = (_q.STATE_LABELS[_q.QuadType(int(env.config.quad_type))]
+                      if hasattr(env.config, "quad_type") else None)
+        except Exception:
+            labels = None
+        state_labels = labels
+    # Wrap angular errors (reference wrap2pi_vec over STATE_UNITS == 'rad').
+    if state_labels is not None:
+        for k, name in enumerate(state_labels):
+            if any(s in name for s in ("theta", "phi", "psi")) and "dot" not in name:
+                err[:, k] = (err[:, k] + np.pi) % (2 * np.pi) - np.pi
+    state_rmse = np.sqrt(np.mean(err**2, axis=0))
+    state_rmse_scalar = float(np.sqrt(np.mean(np.sum(err**2, axis=1))))
+
+    if plot or save_plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        dt = 1.0 / getattr(env, "ctrl_freq", 50) if env is not None else 1.0
+        times = np.arange(n) * dt
+        nx = state_stack.shape[1]
+        fig, axs = plt.subplots(nx, figsize=(8, 1.6 * nx), sharex=True)
+        axs = np.atleast_1d(axs)
+        for k in range(nx):
+            axs[k].plot(times, state_stack[:n, k], label="actual")
+            axs[k].plot(times, goal_stack[:n, k], "r", label="desired")
+            if state_labels is not None and k < len(state_labels):
+                axs[k].set_ylabel(state_labels[k])
+        axs[0].set_title("State Trajectories")
+        axs[0].legend(ncol=2)
+        axs[-1].set_xlabel("time (sec)")
+        if save_plot:
+            fig.savefig(f"{plot_dir}/state_ite{ite_counter}.png", dpi=100)
+        nu = input_stack.shape[1]
+        fig2, axs2 = plt.subplots(nu, figsize=(8, 1.6 * nu), sharex=True)
+        axs2 = np.atleast_1d(axs2)
+        for k in range(nu):
+            axs2[k].plot(times[: min(n, input_stack.shape[0])],
+                         input_stack[: min(n, input_stack.shape[0]), k])
+            if action_labels is not None and k < len(action_labels):
+                axs2[k].set_ylabel(action_labels[k])
+            else:
+                axs2[k].set_ylabel(f"input {k}")
+        axs2[0].set_title("Input Trajectories")
+        axs2[-1].set_xlabel("time (sec)")
+        if save_plot:
+            fig2.savefig(f"{plot_dir}/input_ite{ite_counter}.png", dpi=100)
+        plt.close(fig)
+        plt.close(fig2)
+    return {"state_rmse": state_rmse, "state_rmse_scalar": state_rmse_scalar}
