@@ -11,6 +11,11 @@ statistics ride ICI collectives (psum) instead of pickled pipe messages.
 from safe_control_gym_tpu.parallel.vector import VecEnv, make_vec_env
 from safe_control_gym_tpu.parallel.rollout import rollout, RolloutCarry, EpisodeStats
 from safe_control_gym_tpu.parallel.mesh import make_mesh, shard_batch
+from safe_control_gym_tpu.parallel.distributed import (
+    host_mesh,
+    initialize as distributed_initialize,
+    sharded_init_fn,
+)
 from safe_control_gym_tpu.parallel.episode_stats import RecordEpisodeStatistics
 from safe_control_gym_tpu.parallel.fast_env import FastQuadRollout
 
@@ -22,6 +27,9 @@ __all__ = [
     "EpisodeStats",
     "make_mesh",
     "shard_batch",
+    "host_mesh",
+    "distributed_initialize",
+    "sharded_init_fn",
     "RecordEpisodeStatistics",
     "FastQuadRollout",
 ]

@@ -1,0 +1,161 @@
+"""Multi-host validation worker (run via ``distributed.launch_workers``).
+
+Joins the process group, builds the 2D (host, chip) mesh, constructs its env
+shard process-locally, runs a sharded rollout with a fixed policy, then one
+sharded PPO training step — the full multi-host execution path — and prints
+a stats JSON line on process 0.
+
+The parent test (tests/test_multihost.py) launches this at several
+(process x device) factorizations of the same global batch and asserts the
+global episode statistics are identical: the distributed analogue of the
+reference's SubprocVecEnv-vs-DummyVecEnv equivalence (the reference never
+tests it; SURVEY §4).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+from safe_control_gym_tpu.parallel.distributed import worker_initialize
+
+worker_initialize()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from safe_control_gym_tpu.envs.quadrotor import QuadrotorConfig, make_quadrotor
+from safe_control_gym_tpu.parallel import distributed
+from safe_control_gym_tpu.parallel.rollout import sharded_rollout_fn
+from safe_control_gym_tpu.parallel.vector import make_vec_env
+
+
+def perf_main():
+    """Weak-scaling throughput probe: time the sharded rollout and print a
+    PERF line on process 0 (consumed by benchmarks/scaling_multihost.py)."""
+    import time
+
+    num_envs = int(os.environ.get("SCG_TEST_NUM_ENVS", "512"))
+    num_steps = int(os.environ.get("SCG_TEST_NUM_STEPS", "64"))
+    iters = int(os.environ.get("SCG_TEST_ITERS", "4"))
+
+    cfg = QuadrotorConfig(
+        quad_type=3, ctrl_freq=60, pyb_freq=240, episode_len_sec=6.0,
+        task="stabilization", cost="rl_reward", randomized_inertial_prop=True,
+    )
+    env = make_quadrotor(cfg)
+    mesh = distributed.host_mesh()
+    axes = (distributed.HOST_AXIS, distributed.CHIP_AXIS)
+    init = distributed.sharded_init_fn(env, num_envs, mesh)
+    carry = init(jax.random.key(0))
+    hover = float(env.u_goal[0])
+
+    def policy(pstate, obs):
+        return jnp.full(obs.shape[:-1] + (4,), hover, obs.dtype), pstate
+
+    vec = make_vec_env(env, num_envs)
+    run = sharded_rollout_fn(vec, policy, num_steps, mesh, axis_name=axes)
+    carry, _ = run(carry)  # compile
+    carry, _ = run(carry)  # output-sharding retrace
+    jax.device_get(carry.obs)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry, stats = run(carry)
+    jax.device_get(carry.obs)
+    dt = time.perf_counter() - t0
+    sps = iters * num_steps * num_envs / dt
+    if jax.process_index() == 0:
+        print("MULTIHOST_PERF " + json.dumps(
+            {"processes": jax.process_count(), "devices": jax.device_count(),
+             "envs": num_envs, "steps_per_sec": round(sps, 1)}), flush=True)
+
+
+def main():
+    num_envs = int(os.environ.get("SCG_TEST_NUM_ENVS", "32"))
+    num_steps = int(os.environ.get("SCG_TEST_NUM_STEPS", "40"))
+
+    cfg = QuadrotorConfig(
+        quad_type=3,
+        ctrl_freq=30,
+        pyb_freq=60,
+        episode_len_sec=1.0,
+        task="stabilization",
+        cost="rl_reward",
+        randomized_init=True,
+        randomized_inertial_prop=True,
+        constraints=(
+            {"constraint_form": "default_constraint", "constrained_variable": "state"},
+        ),
+    )
+    env = make_quadrotor(cfg)
+    mesh = distributed.host_mesh()
+    axes = (distributed.HOST_AXIS, distributed.CHIP_AXIS)
+
+    # -- process-local shard construction + sharded rollout ------------------
+    init = distributed.sharded_init_fn(env, num_envs, mesh)
+    carry = init(jax.random.key(0))
+
+    hover = jnp.tile(env.u_goal.astype(jnp.float32), (1,)).reshape(-1)
+
+    def policy(pstate, obs):
+        # Fixed state-feedback on altitude: layout-invariant, exercises done
+        # + auto-reset without a learned model.
+        err = 0.5 - obs[..., 4]
+        act = hover[None, :] + 0.02 * err[..., None]
+        return act, pstate
+
+    vec = make_vec_env(env, num_envs)  # step is shape-polymorphic over shards
+    run = sharded_rollout_fn(vec, policy, num_steps, mesh, axis_name=axes)
+    carry, stats = run(carry)
+    stats = {k: float(jax.device_get(v)) for k, v in stats.items()}
+
+    # -- one sharded PPO training step over the same mesh --------------------
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from safe_control_gym_tpu.controllers.ppo import PPO
+
+    # One epoch / one minibatch keeps the CPU-backend compile of the nested
+    # update scans tractable (the multi-process partitioner compiles the same
+    # program in every process).
+    ppo = PPO(env, seed=0, rollout_batch_size=num_envs, rollout_steps=4,
+              opt_epochs=1, mini_batch_size=num_envs * 4)
+    batch_sh = distributed.batch_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+
+    def _make(data):
+        # Every process passes the FULL array; global_shape == data.shape
+        # tells JAX to slice out this process's shards (rather than
+        # concatenating per-process contributions).
+        sh = batch_sh if data.ndim >= 1 and data.shape[0] == num_envs else repl
+        return jax.make_array_from_process_local_data(sh, data, global_shape=data.shape)
+
+    def place(x):
+        # Typed PRNG keys: shard the underlying uint32 data, re-wrap.
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            return jax.random.wrap_key_data(
+                _make(np.asarray(jax.device_get(jax.random.key_data(x))))
+            )
+        return _make(np.asarray(jax.device_get(x)))
+
+    st = ppo.state
+    st = st.replace(
+        env_state=jax.tree.map(place, st.env_state),
+        obs=place(st.obs),
+        rew_norm=jax.tree.map(place, st.rew_norm),
+    )
+    st, metrics = ppo._train_step(st)
+    ploss = float(jax.device_get(metrics["policy_loss"]))
+    stats["ppo_policy_loss"] = ploss
+    stats["total_steps"] = int(jax.device_get(st.total_steps))
+
+    if jax.process_index() == 0:
+        print("MULTIHOST_STATS " + json.dumps(stats, sort_keys=True), flush=True)
+
+
+if __name__ == "__main__":
+    if os.environ.get("SCG_TEST_MODE") == "perf":
+        perf_main()
+    else:
+        main()

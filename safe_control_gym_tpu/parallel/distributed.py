@@ -1,0 +1,230 @@
+"""Multi-host execution: process group, 2D (host, chip) mesh, process-local
+shard construction, and a subprocess launcher for CPU-backend validation.
+
+TPU-native counterpart of the reference's distributed backend —
+``SubprocVecEnv`` sharding B envs over worker processes connected by OS
+pipes (safe_control_gym/envs/env_wrappers/vectorized_env/subproc_vec_env.py:17-263,
+SURVEY §2.8).  Here the "workers" are TPU hosts in a pod slice:
+
+  * ``initialize`` forms the JAX process group (`jax.distributed.initialize`
+    — gRPC coordination service; collectives ride ICI within a slice and
+    DCN across hosts, not pipes);
+  * ``host_mesh`` builds the 2D (host, chip) mesh, host axis process-major,
+    so each host's env shard is resident on its own chips and per-host
+    collectives stay on ICI;
+  * ``sharded_init_fn`` constructs the env batch *process-locally*: each
+    device resets only its slice, with per-env keys derived from the global
+    env index — the same key stream regardless of process/device layout, so
+    a 2-host run is trajectory-identical to a 1-host run (the reference's
+    per-worker seed offsets, vectorized_env/__init__.py:9-38, made
+    layout-invariant);
+  * ``launch_workers`` spawns an N-process CPU-backend cluster over local
+    TCP for validation without pod hardware.
+
+The rollout itself is ``rollout.sharded_rollout_fn`` with
+``axis_name=("host", "chip")`` — the env batch shards over both axes and
+episode statistics psum over the full mesh.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import subprocess
+import sys
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from safe_control_gym_tpu.parallel.rollout import EpisodeStats, RolloutCarry
+
+HOST_AXIS = "host"
+CHIP_AXIS = "chip"
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Form the JAX process group (multi-host entry point).
+
+    Arguments default to the standard env vars (JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID) or, on TPU pods, to the metadata
+    auto-detection built into ``jax.distributed.initialize``.  No-op when the
+    group is already initialized or when running single-process with no
+    coordinator configured.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None and num_processes is None:
+        env_np = os.environ.get("JAX_NUM_PROCESSES")
+        if env_np is None:
+            return  # single-process run; nothing to form
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def host_mesh(
+    axis_names: Sequence[str] = (HOST_AXIS, CHIP_AXIS),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """2D (host, chip) mesh, host axis process-major.
+
+    Each row of the mesh is one process's local devices, so a
+    ``P((host, chip))``-sharded batch keeps every host's env shard on its own
+    chips: per-host traffic rides ICI, only cross-host reductions touch DCN.
+    Single-process (including the CPU ``xla_force_host_platform_device_count``
+    harness) yields a (1, n_devices) mesh with identical program semantics.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = sorted(devices, key=lambda d: (d.process_index, d.id))
+    n_proc = len({d.process_index for d in devices})
+    per_host = len(devices) // n_proc
+    if n_proc * per_host != len(devices):
+        raise ValueError("uneven devices per process")
+    arr = np.asarray(devices, dtype=object).reshape(n_proc, per_host)
+    return Mesh(arr, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis_names: Sequence[str] = (HOST_AXIS, CHIP_AXIS)):
+    """Sharding for (B, ...)-leading arrays: dim 0 split over host x chip."""
+    return NamedSharding(mesh, P(tuple(axis_names)))
+
+
+def local_env_slice(mesh: Mesh, num_envs: int,
+                    axis_names: Sequence[str] = (HOST_AXIS, CHIP_AXIS)):
+    """(start, count) of this process's contiguous global env range."""
+    n_shards = math.prod(mesh.shape[a] for a in axis_names)
+    if num_envs % n_shards:
+        raise ValueError(f"num_envs={num_envs} not divisible by {n_shards} shards")
+    per_shard = num_envs // n_shards
+    per_host = per_shard * mesh.shape[axis_names[1]]
+    return jax.process_index() * per_host, per_host
+
+
+def sharded_init_fn(
+    env,
+    num_envs: int,
+    mesh: Mesh,
+    axis_names: Sequence[str] = (HOST_AXIS, CHIP_AXIS),
+    stats_dtype=jnp.float32,
+) -> Callable:
+    """Jitted global (key) -> RolloutCarry with process-local construction.
+
+    Each device resets only its ``num_envs / n_shards`` envs.  Per-env reset
+    keys are ``jax.random.split(key, num_envs)[global_env_index]`` — the
+    exact derivation `vector.make_vec_env.reset` uses on one device — so the
+    global trajectory set is bitwise-identical across any (host, chip)
+    factorization, and to the single-device path.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    axis_names = tuple(axis_names)
+    n_shards = math.prod(mesh.shape[a] for a in axis_names)
+    if num_envs % n_shards:
+        raise ValueError(f"num_envs={num_envs} not divisible by {n_shards} shards")
+    local_B = num_envs // n_shards
+
+    def local_init(key):
+        idx = jnp.int32(0)
+        for a in axis_names:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        keys = jax.random.split(key, num_envs)  # same table on every shard
+        local_keys = jax.lax.dynamic_slice_in_dim(keys, idx * local_B, local_B)
+        state, obs, _ = jax.vmap(env.reset)(local_keys)
+        return RolloutCarry(
+            env_state=state,
+            obs=obs,
+            policy_state=(),
+            stats=EpisodeStats.create(local_B, stats_dtype),
+        )
+
+    spec = RolloutCarry(
+        env_state=P(axis_names), obs=P(axis_names), policy_state=P(),
+        stats=P(axis_names),
+    )
+    return jax.jit(
+        shard_map(local_init, mesh=mesh, in_specs=P(), out_specs=spec,
+                  check_rep=False)
+    )
+
+
+def launch_workers(
+    worker_script: str,
+    num_processes: int,
+    devices_per_process: int = 1,
+    port: int = 52345,
+    extra_args: Sequence[str] = (),
+    timeout: float = 600.0,
+    env_overrides: Optional[dict] = None,
+):
+    """Spawn an N-process CPU-backend cluster over local TCP.
+
+    The validation analogue of a pod launcher (and of the reference's
+    ``SubprocVecEnv.__init__`` process spawn, subproc_vec_env.py:22-48):
+    each worker runs ``worker_script`` with env vars SCG_NUM_PROCESSES /
+    SCG_PROCESS_ID / SCG_COORDINATOR / SCG_DEVICES_PER_PROCESS set; the
+    script is expected to call ``worker_initialize()``.  Returns the list of
+    (returncode, stdout_text) per process.
+    """
+    procs = []
+    for pid in range(num_processes):
+        env = dict(os.environ)
+        env.update(env_overrides or {})
+        env.update(
+            SCG_NUM_PROCESSES=str(num_processes),
+            SCG_PROCESS_ID=str(pid),
+            SCG_COORDINATOR=f"localhost:{port}",
+            SCG_DEVICES_PER_PROCESS=str(devices_per_process),
+            JAX_PLATFORMS="cpu",
+            # Persistent compile cache: repeated launches (and the N identical
+            # per-process compiles) reuse artifacts instead of recompiling.
+            JAX_COMPILATION_CACHE_DIR=env.get(
+                "JAX_COMPILATION_CACHE_DIR", "/tmp/scg_jax_cache"
+            ),
+            JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="2",
+            XLA_FLAGS=(
+                env.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={devices_per_process}"
+            ).strip(),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker_script, *extra_args],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    results = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        results.append((p.returncode, out.decode(errors="replace")))
+    return results
+
+
+def worker_initialize() -> None:
+    """Worker-side: pin the CPU platform and join the cluster.
+
+    Reads the SCG_* env vars set by ``launch_workers``.  Must run before any
+    other JAX use in the worker process.
+    """
+    jax.config.update("jax_platforms", "cpu")
+    n = int(os.environ["SCG_NUM_PROCESSES"])
+    pid = int(os.environ["SCG_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=os.environ["SCG_COORDINATOR"],
+        num_processes=n,
+        process_id=pid,
+    )

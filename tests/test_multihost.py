@@ -1,0 +1,71 @@
+"""Multi-host execution path: real multi-process clusters on the CPU backend.
+
+Launches the validation worker (parallel/_multihost_worker.py) at several
+(process x device) factorizations of the same 32-env global batch over local
+TCP (jax.distributed + Gloo collectives — the DCN stand-in) and asserts the
+global episode statistics agree: sharding layout must not change semantics.
+This is the multi-host story the reference's SubprocVecEnv
+(subproc_vec_env.py:17-263) never had a test for.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from safe_control_gym_tpu.parallel import distributed
+
+WORKER = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "safe_control_gym_tpu", "parallel", "_multihost_worker.py",
+)
+
+
+def _launch(n_procs, devs, port):
+    results = distributed.launch_workers(
+        WORKER, n_procs, devices_per_process=devs, port=port,
+        timeout=900.0,
+        env_overrides={"SCG_TEST_NUM_ENVS": "32", "SCG_TEST_NUM_STEPS": "40"},
+    )
+    for rc, out in results:
+        assert rc == 0, f"worker failed (rc={rc}):\n{out[-3000:]}"
+    stats_lines = [
+        line for _, out in results for line in out.splitlines()
+        if line.startswith("MULTIHOST_STATS ")
+    ]
+    assert len(stats_lines) == 1, "expected exactly one stats line from process 0"
+    return json.loads(stats_lines[0][len("MULTIHOST_STATS "):])
+
+
+@pytest.mark.slow
+def test_multiprocess_rollout_matches_single_process():
+    """2-host and 4-host CPU clusters reproduce the 1-process stats."""
+    ref = _launch(1, 4, port=52411)
+    two = _launch(2, 2, port=52413)
+    four = _launch(4, 1, port=52417)
+    assert ref["episodes"] > 0, ref
+    for other in (two, four):
+        for k in ("episodes", "mean_return", "mean_length", "mean_violations"):
+            np.testing.assert_allclose(
+                other[k], ref[k], rtol=1e-5, atol=1e-6,
+                err_msg=f"{k} diverged across process layouts: {ref} vs {other}",
+            )
+        # The sharded PPO step ran and produced a finite loss.
+        assert np.isfinite(other["ppo_policy_loss"])
+        assert other["total_steps"] == ref["total_steps"]
+
+
+def test_host_mesh_and_slices_single_process():
+    """Mesh/slice helpers in the degenerate 1-process case (same code path)."""
+    import jax
+
+    mesh = distributed.host_mesh()
+    assert mesh.axis_names == ("host", "chip")
+    assert mesh.shape["host"] == 1
+    n = mesh.shape["chip"]
+    assert n == jax.device_count()
+    start, count = distributed.local_env_slice(mesh, 8 * n)
+    assert (start, count) == (0, 8 * n)
+    with pytest.raises(ValueError):
+        distributed.local_env_slice(mesh, 3)  # not divisible (n is 2^k)
