@@ -104,6 +104,40 @@ def bench_fast():
     return iters * S * B / dt
 
 
+def bench_policy_in_loop():
+    """Closed-loop throughput: a REAL policy (PPO actor+critic MLP forward +
+    Gaussian sampling) acting in-kernel every step, trajectory recorded to
+    HBM — the RL data-collection path (parallel/fast_policy.py), not an
+    open-loop constant-action rollout."""
+    import dataclasses
+
+    from safe_control_gym_tpu.controllers.ppo import PPO
+    from safe_control_gym_tpu.parallel.fast_env import supports
+    from safe_control_gym_tpu.parallel.fast_policy import FastPolicyRollout
+
+    cfg = dataclasses.replace(build.cfg, normalized_rl_action_space=True)
+    if not supports(cfg, allow_normalized=True):
+        return None
+    env = make_quadrotor(cfg)
+    T, iters = 512, 2
+    fp = FastPolicyRollout(env, B, T)
+    ppo = PPO(env, seed=0, rollout_batch_size=B, rollout_steps=T)
+    w = fp.pack_weights(ppo.state.ac.actor_params, ppo.state.ac.critic_params,
+                        ppo.state.ac.logstd)
+    w = jax.tree.map(jnp.asarray, w)
+    rows = fp.reset(seed=0)
+    rows, traj = fp.run(rows, w, seed=1)
+    jax.device_get(rows)
+    rows, traj = fp.run(rows, w, seed=2)
+    jax.device_get(rows)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        rows, traj = fp.run(rows, w, seed=3 + i)
+    jax.device_get(rows)
+    dt = time.perf_counter() - t0
+    return iters * T * B / dt
+
+
 def main():
     run, carry = build()
     # Warmup / compile (twice: first output's shardings retrace once).
@@ -122,6 +156,7 @@ def main():
     dt = time.perf_counter() - t0
     general = iters * STEPS_PER_CALL * B / dt
     fast = bench_fast()
+    policy_loop = bench_policy_in_loop()
     headline = fast if fast is not None else general
     print(
         json.dumps(
@@ -132,6 +167,12 @@ def main():
                 "vs_baseline": round(headline / BASELINE_TARGET, 4),
                 "engine": "fast_rollout" if fast is not None else "general",
                 "general_engine_value": round(general, 1),
+                # Closed-loop: PPO actor+critic forward + sampling in-kernel
+                # each step, full trajectory recorded (the RL collection
+                # path) — not open-loop.
+                "policy_in_loop_value": (
+                    round(policy_loop, 1) if policy_loop is not None else None
+                ),
             }
         )
     )

@@ -24,7 +24,7 @@ from safe_control_gym_tpu.controllers.ppo import PPO
 from safe_control_gym_tpu.envs.quadrotor import QuadrotorConfig, make_quadrotor
 
 
-def main(batch=1024, steps=64, iters=4):
+def main(batch=1024, steps=64, iters=4, fast=False, reshuffle=True):
     env = make_quadrotor(
         QuadrotorConfig(
             quad_type=3, ctrl_freq=60, pyb_freq=240, episode_len_sec=6,
@@ -38,7 +38,8 @@ def main(batch=1024, steps=64, iters=4):
         )
     )
     ppo = PPO(env, seed=0, rollout_batch_size=batch, rollout_steps=steps,
-              opt_epochs=10, mini_batch_size=batch * steps // 4)
+              opt_epochs=10, mini_batch_size=batch * steps // 4,
+              use_fast_rollout=fast, reshuffle_each_epoch=reshuffle)
     state = ppo.state
     # Warmup twice (compile + output-shardings retrace).
     state, _ = ppo._train_step(state)
@@ -57,6 +58,8 @@ def main(batch=1024, steps=64, iters=4):
         "unit": "env-steps/s (incl. policy fwd + GAE + 10 SGD epochs)",
         "batch": batch,
         "rollout_steps": steps,
+        "collector": "fast_policy_kernel" if fast else "scan",
+        "reshuffle_each_epoch": reshuffle,
     }))
 
 
@@ -64,5 +67,9 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--steps", type=int, default=64)
+    p.add_argument("--fast", action="store_true",
+                   help="policy-in-kernel Pallas collection")
+    p.add_argument("--once-per-step-shuffle", action="store_true",
+                   help="one minibatch shuffle per train step (see PPOConfig)")
     a, _ = p.parse_known_args()
-    main(a.batch, a.steps)
+    main(a.batch, a.steps, fast=a.fast, reshuffle=not a.once_per_step_shuffle)

@@ -91,12 +91,25 @@ class PPOState(struct.PyTreeNode):
 
 
 class PPO(BaseController):
-    """Host shell; all compute lives in the jitted ``self._train_step``."""
+    """Host shell; all compute lives in the jitted ``self._train_step``.
 
-    def __init__(self, env, seed: int = 0, output_dir: str = ".", action_filter_fn=None, **kwargs):
+    ``use_fast_rollout=True`` collects trajectories with the policy-in-kernel
+    whole-rollout Pallas engine (parallel/fast_policy.py) instead of the
+    scan: the entire rollout — actor/critic forward, Gaussian sampling,
+    dynamics, reward, auto-reset, trajectory recording — is ONE kernel
+    dispatch.  Requires the fast-engine config envelope (3D quad, rl_reward,
+    no obs/act disturbances), norm_obs/norm_reward off, 64-wide tanh/relu
+    MLPs, and rollout_batch_size a multiple of 1024.  Learning semantics
+    match the scan path up to the PRNG stream (tests/test_fast_policy.py).
+    """
+
+    def __init__(self, env, seed: int = 0, output_dir: str = ".", action_filter_fn=None,
+                 use_fast_rollout: bool = False, fast_interpret: bool = False, **kwargs):
         super().__init__(env, output_dir=output_dir, seed=seed)
         known = {f.name for f in dataclasses.fields(PPOConfig)}
         self.cfg = PPOConfig(**{k: v for k, v in kwargs.items() if k in known})
+        self.use_fast_rollout = use_fast_rollout
+        self._fast_interpret = fast_interpret
         # Optional pure hook (obs, act) -> act applied after sampling — the
         # safety-layer projection point (reference SafePPO applies Dalal's
         # layer inside the actor's act, safe_ppo_utils.py:15-130).
@@ -121,7 +134,26 @@ class PPO(BaseController):
             critic_params=self.critic.init(k2, dummy),
             logstd=-0.5 * jnp.ones((act_dim,)),
         )
-        env_state, obs, _ = jax.jit(self.vec.reset)(k3)
+        self._fp = None
+        if use_fast_rollout:
+            from safe_control_gym_tpu.parallel.fast_env import supports
+            from safe_control_gym_tpu.parallel.fast_policy import FastPolicyRollout
+
+            assert supports(env.config, allow_normalized=True), \
+                "env config outside the fast-engine envelope"
+            assert not (cfg.norm_obs or cfg.norm_reward), \
+                "fast rollout does not implement running normalizers"
+            assert action_filter_fn is None
+            assert obs_dim == 12 and act_dim == 4
+            self._fp = FastPolicyRollout(
+                env, cfg.rollout_batch_size, cfg.rollout_steps,
+                mlp_hidden=cfg.hidden_dim, mlp_act=cfg.activation,
+                interpret=self._fast_interpret,
+            )
+            env_state = self._fp.reset(seed)
+            obs = self._fp.states(env_state)
+        else:
+            env_state, obs, _ = jax.jit(self.vec.reset)(k3)
         self.state = PPOState(
             ac=ac,
             actor_opt=self.actor_tx.init((ac.actor_params, ac.logstd)),
@@ -190,6 +222,36 @@ class PPO(BaseController):
                 return st, out
 
             state, roll = jax.lax.scan(body, state, None, length=T)
+            return state, roll
+
+        def collect_fast(state: PPOState):
+            """Whole-rollout Pallas collection (one kernel dispatch)."""
+            fp = self._fp
+            key, k_seed = jax.random.split(state.key)
+            seed = jax.random.randint(k_seed, (1,), 0, jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
+            w1, b1, w2, b2, w3, b3, logstd = fp.pack_weights(
+                state.ac.actor_params, state.ac.critic_params, state.ac.logstd
+            )
+            rows, traj = fp._call(seed, logstd, w1, b1, w2, b2, w3, b3,
+                                  state.env_state)
+            d = fp.unpack_traj(traj)
+            # Truncation bootstrap from the stored terminal observations
+            # (one batched critic matmul; the kernel masks term_obs to
+            # truncated steps).
+            term_v = jnp.where(
+                d["trunc"] > 0.0, self._value(state.ac, d["term_obs"]), 0.0
+            )
+            roll = {
+                "obs": d["obs"],
+                "act": d["act"],
+                "rew": d["rew"],
+                "mask": d["mask"],
+                "v": d["v"],
+                "logp": d["logp"],
+                "terminal_v": term_v,
+            }
+            state = state.replace(env_state=rows, obs=fp.states(rows), key=key)
             return state, roll
 
         def gae(roll, last_val):
@@ -310,16 +372,19 @@ class PPO(BaseController):
                     carry, metrics = jax.lax.scan(minibatch_step, carry, mbs)
                     return carry, metrics.mean(0)
             else:
-                # One shuffle per train step; epochs rotate whole minibatch
-                # blocks (coarse gather of n_mini contiguous slabs).
+                # One shuffle per train step; epochs sweep the same minibatch
+                # blocks in order.  Even a coarse per-epoch block permutation
+                # measurably hurts: re-materializing the 24 MB block tensor
+                # 10x showed up as ~10 ms of dynamic-update-slices in the
+                # device trace (docs/PERF.md).
                 perm = jax.random.permutation(keys[-1], N)
                 blocks = packed[perm[: n_mini * cfg.mini_batch_size]].reshape(
                     n_mini, cfg.mini_batch_size, -1
                 )
 
                 def epoch_step(carry, key):
-                    order = jax.random.permutation(key, n_mini)
-                    carry, metrics = jax.lax.scan(minibatch_step, carry, blocks[order])
+                    del key
+                    carry, metrics = jax.lax.scan(minibatch_step, carry, blocks)
                     return carry, metrics.mean(0)
 
             (ac, aopt, copt), metrics = jax.lax.scan(
@@ -337,7 +402,7 @@ class PPO(BaseController):
             }
 
         def train_step(state: PPOState):
-            state, roll = collect(state)
+            state, roll = (collect_fast if self._fp is not None else collect)(state)
             last_val = self._value(state.ac, state.obs)
             rets, advs = gae(roll, last_val)
             advs = (advs - advs.mean()) / (advs.std() + 1e-6)

@@ -51,8 +51,13 @@ _STATS_KEYS = ("ep_return", "ep_length", "ep_violations", "done_count",
                "sum_return", "sum_length", "sum_violations")
 
 
-def supports(cfg) -> bool:
-    """True if the config is in this engine's validated envelope."""
+def supports(cfg, allow_normalized: bool = False) -> bool:
+    """True if the config is in this engine's validated envelope.
+
+    ``allow_normalized``: the policy-in-kernel engine (fast_policy.py)
+    handles the normalized RL action space in-kernel; the constant-action
+    engine does not.
+    """
     from safe_control_gym_tpu.envs.quadrotor import QuadType
 
     from safe_control_gym_tpu.envs.quadrotor import _DEFAULT_TASK_INFO
@@ -84,7 +89,7 @@ def supports(cfg) -> bool:
         and int(cfg.quad_type) == QuadType.THREE_D
         and cfg.physics in ("pyb", "dyn")
         and cfg.cost == "rl_reward"
-        and not cfg.normalized_rl_action_space
+        and (allow_normalized or not cfg.normalized_rl_action_space)
         and (cfg.task == "stabilization"
              or (cfg.task == "traj_tracking"
                  and ti.get("trajectory_type") in ("figure8", "circle")))
@@ -277,15 +282,129 @@ def _rollout_kernel(seed_ref, act_ref, st_ref, out_ref, *, p):
     out_ref[:] = jnp.stack(carry, axis=0)
 
 
+def build_engine_params(env, steps_per_call: int, interpret: bool,
+                        allow_normalized: bool = False) -> dict:
+    """Static kernel-parameter dict from an env config (shared by the
+    constant-action engine below and the policy-in-kernel engine in
+    fast_policy.py)."""
+    from safe_control_gym_tpu.envs import quadrotor as Q
+
+    cfg = env.config
+    assert supports(cfg, allow_normalized=allow_normalized), \
+        "config outside the fast-engine envelope"
+
+    ti = {**Q._DEFAULT_TASK_INFO, **(cfg.task_info or {})}
+    n_sub = cfg.pyb_freq // cfg.ctrl_freq
+    dist = (cfg.disturbances or {}).get("dynamics")
+    impulse = None
+    if dist:
+        d = dist[0]
+        # supports() guarantees scalar specs; ravel handles 1-elem lists.
+        impulse = tuple(
+            float(np.asarray(d.get(k, dflt), dtype=float).ravel()[0])
+            for k, dflt in (("magnitude", 1.0), ("duration", 1), ("decay_rate", 1.0))
+        )
+    # Randomization bounds in fast-row order: mass, jx, jy, jz, x0..x11
+    # (same affine form as the general engine's consolidated draw).
+    inertial = Q._DEFAULT_INERTIAL_RAND if cfg.randomized_inertial_prop else {}
+    if cfg.randomized_inertial_prop and cfg.inertial_prop_randomization_info:
+        inertial = cfg.inertial_prop_randomization_info
+    init_rand = Q._DEFAULT_INIT_RAND if cfg.randomized_init else {}
+    if cfg.randomized_init and cfg.init_state_randomization_info:
+        init_rand = cfg.init_state_randomization_info
+    labels = Q.INIT_LABELS[Q.QuadType.THREE_D]
+    if isinstance(cfg.init_state, dict):
+        init_state = cfg.init_state
+    elif cfg.init_state is not None:
+        # Sequence form, mapped by position (quadrotor.py reset handling).
+        init_state = dict(zip(labels, np.asarray(cfg.init_state, float).ravel()))
+    else:
+        init_state = {}
+    names = ["M", "Ixx", "Iyy", "Izz"] + list(Q.INIT_LABELS[Q.QuadType.THREE_D])
+    infos = [inertial] * 4 + [init_rand] * 12
+    nominal = [Q.MASS, *Q.J_DIAG] + [
+        float(init_state.get(n, 0.0)) for n in labels
+    ]
+    if isinstance(cfg.inertial_prop, dict):
+        nominal[0] = float(cfg.inertial_prop.get("M", nominal[0]))
+        for i, k in enumerate(("Ixx", "Iyy", "Izz")):
+            nominal[1 + i] = float(cfg.inertial_prop.get(k, nominal[1 + i]))
+    elif cfg.inertial_prop is not None:
+        ip = np.asarray(cfg.inertial_prop, dtype=float).reshape(-1)
+        nominal[0] = float(ip[0])
+        if ip.size >= 4:
+            nominal[1:4] = [float(v) for v in ip[1:4]]
+    lo = [float(i[n]["low"]) if n in i else 0.0 for n, i in zip(names, infos)]
+    hi = [float(i[n]["high"]) if n in i else 0.0 for n, i in zip(names, infos)]
+
+    axes = {"x": 0, "y": 1, "z": 2}
+    if cfg.task == "stabilization":
+        task = "stab"
+        xg = np.asarray(env.x_goal, dtype=np.float32).reshape(-1)
+        x_goal = tuple(float(v) for v in xg)
+        plane_idx, plane_off = (0, 1), (0.0, 0.0)
+        traj_type, traj_w, traj_scale = "none", 0.0, 0.0
+        proj = tuple(
+            tuple(1.0 if r == c else 0.0 for c in range(4)) for r in range(3)
+        )
+    else:
+        task = "traj"
+        x_goal = tuple([0.0] * 12)
+        plane = ti.get("trajectory_plane", "xy")
+        plane_idx = (axes[plane[0]], axes[plane[1]])
+        off = ti.get("trajectory_position_offset", (0.0, 0.0))
+        plane_off = (float(off[0]), float(off[1]))
+        traj_type = ti.get("trajectory_type")
+        period = cfg.episode_len_sec / float(ti.get("num_cycles", 1))
+        traj_w = 2.0 * math.pi / period
+        traj_scale = float(ti.get("trajectory_scale", 1.0))
+        from safe_control_gym_tpu.ops.rotations import projection_matrix
+
+        M4 = np.asarray(projection_matrix(
+            ti.get("proj_point", [0, 0, 0]), ti.get("proj_normal", [0, 0, 1])
+        ), dtype=float)
+        proj = tuple(tuple(float(v) for v in M4[k, :4]) for k in range(3))
+
+    params = dict(
+        use_prng=not interpret,
+        steps=steps_per_call,
+        n_sub=n_sub,
+        euler=(cfg.physics == "dyn"),
+        dt=1.0 / cfg.pyb_freq,
+        ctrl_dt=1.0 / cfg.ctrl_freq,
+        g=Q.GRAVITY_ACC, arm_l=Q.ARM_L, km_over_kf=Q.KM / Q.KF,
+        a_low=float(env.spaces.action_low[0]),
+        a_high=float(env.spaces.action_high[0]),
+        u_goal=float(env.u_goal[0]),
+        rew_act_w=1e-4 if cfg.rew_act_weight is None else float(np.ravel(cfg.rew_act_weight)[0]),
+        rew_state_w=tuple(np.broadcast_to(np.asarray(cfg.rew_state_weight, float), (12,)).tolist()),
+        rew_exp=bool(cfg.rew_exponential),
+        s_low=tuple(float(v) for v in env.spaces.state_low),
+        s_high=tuple(float(v) for v in env.spaces.state_high),
+        oob_mask=tuple(bool(v) for v in (1, 0, 1, 0, 1, 0, 1, 1, 1, 0, 0, 0)),
+        done_oob=bool(cfg.done_on_out_of_bound),
+        count_viol=cfg.constraints is not None,
+        max_steps=float(int(cfg.episode_len_sec * cfg.ctrl_freq)),
+        impulse=impulse,
+        task=task, x_goal=x_goal,
+        traj_type=traj_type, traj_w=traj_w, traj_scale=traj_scale,
+        plane_idx=plane_idx, plane_off=plane_off, proj=proj,
+        rand_nominal=tuple(nominal), rand_lo=tuple(lo), rand_hi=tuple(hi),
+        # Normalized RL action space (quadrotor.py:758-763): the policy
+        # engine maps act in [-1, 1] to thrust in-kernel.
+        normalized=bool(cfg.normalized_rl_action_space),
+        norm_act_scale=float(cfg.norm_act_scale),
+        hover_thrust=float(Q.GRAVITY_ACC * nominal[0] / 4.0),
+    )
+    return params
+
+
 class FastQuadRollout:
     """Host wrapper: packed state + one-dispatch rollout calls."""
 
     def __init__(self, env, num_envs: int, steps_per_call: int = 256,
                  sub: int = 8, interpret: bool = False):
-        from safe_control_gym_tpu.envs import quadrotor as Q
-
         cfg = env.config
-        assert supports(cfg), "config outside the fast-engine envelope"
         assert num_envs % (sub * 128) == 0, "num_envs must be a multiple of sub*128"
         self.env = env
         self.B = num_envs
@@ -293,105 +412,7 @@ class FastQuadRollout:
         self.lanes = num_envs // sub
         self.steps = steps_per_call
         self._auto_seed = 1
-
-        ti = {**Q._DEFAULT_TASK_INFO, **(cfg.task_info or {})}
-        n_sub = cfg.pyb_freq // cfg.ctrl_freq
-        dist = (cfg.disturbances or {}).get("dynamics")
-        impulse = None
-        if dist:
-            d = dist[0]
-            # supports() guarantees scalar specs; ravel handles 1-elem lists.
-            impulse = tuple(
-                float(np.asarray(d.get(k, dflt), dtype=float).ravel()[0])
-                for k, dflt in (("magnitude", 1.0), ("duration", 1), ("decay_rate", 1.0))
-            )
-        # Randomization bounds in fast-row order: mass, jx, jy, jz, x0..x11
-        # (same affine form as the general engine's consolidated draw).
-        inertial = Q._DEFAULT_INERTIAL_RAND if cfg.randomized_inertial_prop else {}
-        if cfg.randomized_inertial_prop and cfg.inertial_prop_randomization_info:
-            inertial = cfg.inertial_prop_randomization_info
-        init_rand = Q._DEFAULT_INIT_RAND if cfg.randomized_init else {}
-        if cfg.randomized_init and cfg.init_state_randomization_info:
-            init_rand = cfg.init_state_randomization_info
-        labels = Q.INIT_LABELS[Q.QuadType.THREE_D]
-        if isinstance(cfg.init_state, dict):
-            init_state = cfg.init_state
-        elif cfg.init_state is not None:
-            # Sequence form, mapped by position (quadrotor.py reset handling).
-            init_state = dict(zip(labels, np.asarray(cfg.init_state, float).ravel()))
-        else:
-            init_state = {}
-        names = ["M", "Ixx", "Iyy", "Izz"] + list(Q.INIT_LABELS[Q.QuadType.THREE_D])
-        infos = [inertial] * 4 + [init_rand] * 12
-        nominal = [Q.MASS, *Q.J_DIAG] + [
-            float(init_state.get(n, 0.0)) for n in labels
-        ]
-        if isinstance(cfg.inertial_prop, dict):
-            nominal[0] = float(cfg.inertial_prop.get("M", nominal[0]))
-            for i, k in enumerate(("Ixx", "Iyy", "Izz")):
-                nominal[1 + i] = float(cfg.inertial_prop.get(k, nominal[1 + i]))
-        elif cfg.inertial_prop is not None:
-            ip = np.asarray(cfg.inertial_prop, dtype=float).reshape(-1)
-            nominal[0] = float(ip[0])
-            if ip.size >= 4:
-                nominal[1:4] = [float(v) for v in ip[1:4]]
-        lo = [float(i[n]["low"]) if n in i else 0.0 for n, i in zip(names, infos)]
-        hi = [float(i[n]["high"]) if n in i else 0.0 for n, i in zip(names, infos)]
-
-        axes = {"x": 0, "y": 1, "z": 2}
-        if cfg.task == "stabilization":
-            task = "stab"
-            xg = np.asarray(env.x_goal, dtype=np.float32).reshape(-1)
-            x_goal = tuple(float(v) for v in xg)
-            plane_idx, plane_off = (0, 1), (0.0, 0.0)
-            traj_type, traj_w, traj_scale = "none", 0.0, 0.0
-            proj = tuple(
-                tuple(1.0 if r == c else 0.0 for c in range(4)) for r in range(3)
-            )
-        else:
-            task = "traj"
-            x_goal = tuple([0.0] * 12)
-            plane = ti.get("trajectory_plane", "xy")
-            plane_idx = (axes[plane[0]], axes[plane[1]])
-            off = ti.get("trajectory_position_offset", (0.0, 0.0))
-            plane_off = (float(off[0]), float(off[1]))
-            traj_type = ti.get("trajectory_type")
-            period = cfg.episode_len_sec / float(ti.get("num_cycles", 1))
-            traj_w = 2.0 * math.pi / period
-            traj_scale = float(ti.get("trajectory_scale", 1.0))
-            from safe_control_gym_tpu.ops.rotations import projection_matrix
-
-            M4 = np.asarray(projection_matrix(
-                ti.get("proj_point", [0, 0, 0]), ti.get("proj_normal", [0, 0, 1])
-            ), dtype=float)
-            proj = tuple(tuple(float(v) for v in M4[k, :4]) for k in range(3))
-
-        self.params = dict(
-            use_prng=not interpret,
-            steps=steps_per_call,
-            n_sub=n_sub,
-            euler=(cfg.physics == "dyn"),
-            dt=1.0 / cfg.pyb_freq,
-            ctrl_dt=1.0 / cfg.ctrl_freq,
-            g=Q.GRAVITY_ACC, arm_l=Q.ARM_L, km_over_kf=Q.KM / Q.KF,
-            a_low=float(env.spaces.action_low[0]),
-            a_high=float(env.spaces.action_high[0]),
-            u_goal=float(env.u_goal[0]),
-            rew_act_w=1e-4 if cfg.rew_act_weight is None else float(np.ravel(cfg.rew_act_weight)[0]),
-            rew_state_w=tuple(np.broadcast_to(np.asarray(cfg.rew_state_weight, float), (12,)).tolist()),
-            rew_exp=bool(cfg.rew_exponential),
-            s_low=tuple(float(v) for v in env.spaces.state_low),
-            s_high=tuple(float(v) for v in env.spaces.state_high),
-            oob_mask=tuple(bool(v) for v in (1, 0, 1, 0, 1, 0, 1, 1, 1, 0, 0, 0)),
-            done_oob=bool(cfg.done_on_out_of_bound),
-            count_viol=cfg.constraints is not None,
-            max_steps=float(int(cfg.episode_len_sec * cfg.ctrl_freq)),
-            impulse=impulse,
-            task=task, x_goal=x_goal,
-            traj_type=traj_type, traj_w=traj_w, traj_scale=traj_scale,
-            plane_idx=plane_idx, plane_off=plane_off, proj=proj,
-            rand_nominal=tuple(nominal), rand_lo=tuple(lo), rand_hi=tuple(hi),
-        )
+        self.params = build_engine_params(env, steps_per_call, interpret)
         kern = functools.partial(_rollout_kernel, p=self.params)
         spec = lambda rows: pl.BlockSpec(
             (rows, sub, self.lanes), lambda i: (0, 0, i), memory_space=pltpu.VMEM

