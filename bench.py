@@ -104,6 +104,67 @@ def bench_fast():
     return iters * S * B / dt
 
 
+def bench_maze():
+    """BASELINE config 5: level2-class gate-traversal course — randomized
+    gates/obstacles, competition sparse cost, collision done flag, action
+    white noise + uniform dynamics force — on the maze-capable whole-rollout
+    kernel (in-kernel geometry; see tests/test_fast_maze.py for the
+    step-exact validation vs the general engine)."""
+    import numpy as np
+
+    from safe_control_gym_tpu.parallel.fast_env import FastQuadRollout, supports
+
+    cfg = QuadrotorConfig(
+        quad_type=3, ctrl_freq=30, pyb_freq=60, episode_len_sec=15,
+        task="stabilization",
+        task_info={"stabilization_goal": [-0.5, 2.9, 0.75],
+                   "stabilization_goal_tolerance": 0.15},
+        cost="competition",
+        gates=(
+            [0.5, -2.5, 0, 0, 0, -1.57, 0],
+            [2.0, -1.5, 0, 0, 0, 0, 1],
+            [0.0, 0.2, 0, 0, 0, 1.57, 1],
+            [-0.5, 1.5, 0, 0, 0, 0, 0],
+        ),
+        obstacles=(
+            [1.5, -2.5, 0, 0, 0, 0],
+            [0.5, -1.0, 0, 0, 0, 0],
+            [1.5, 0.0, 0, 0, 0, 0],
+            [-1.0, 0.0, 0, 0, 0, 0],
+        ),
+        randomized_gates_and_obstacles=True,
+        randomized_init=True,
+        randomized_inertial_prop=True,
+        constraints=(
+            {"constraint_form": "default_constraint", "constrained_variable": "state"},
+        ),
+        disturbances={
+            "action": ({"disturbance_func": "white_noise", "std": 0.001},),
+            "dynamics": ({"disturbance_func": "uniform",
+                          "low": [-0.1] * 3, "high": [0.1] * 3},),
+        },
+        done_on_collision=True,
+        done_on_out_of_bound=False,
+    )
+    if not supports(cfg, allow_maze=True):
+        return None
+    env = make_quadrotor(cfg)
+    S, iters = 8192, 2
+    fr = FastQuadRollout(env, B, steps_per_call=S)
+    act = fr.prepare_action(np.full(4, float(env.u_goal[0])))
+    rows = fr.reset(seed=0)
+    rows = fr.run(rows, act, 1)
+    jax.device_get(rows)
+    rows = fr.run(rows, act, 2)
+    jax.device_get(rows)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        rows = fr.run(rows, act, 3 + i)
+    jax.device_get(rows)
+    dt = time.perf_counter() - t0
+    return iters * S * B / dt
+
+
 def bench_policy_in_loop():
     """Closed-loop throughput: a REAL policy (PPO actor+critic MLP forward +
     Gaussian sampling) acting in-kernel every step, trajectory recorded to
@@ -157,6 +218,7 @@ def main():
     general = iters * STEPS_PER_CALL * B / dt
     fast = bench_fast()
     policy_loop = bench_policy_in_loop()
+    maze = bench_maze()
     headline = fast if fast is not None else general
     print(
         json.dumps(
@@ -173,6 +235,9 @@ def main():
                 "policy_in_loop_value": (
                     round(policy_loop, 1) if policy_loop is not None else None
                 ),
+                # BASELINE config 5: level2-class randomized maze with
+                # in-kernel gate/obstacle geometry + competition cost.
+                "maze_level2_value": round(maze, 1) if maze is not None else None,
             }
         )
     )

@@ -51,12 +51,18 @@ _STATS_KEYS = ("ep_return", "ep_length", "ep_violations", "done_count",
                "sum_return", "sum_length", "sum_violations")
 
 
-def supports(cfg, allow_normalized: bool = False) -> bool:
+def supports(cfg, allow_normalized: bool = False, allow_maze: bool = False) -> bool:
     """True if the config is in this engine's validated envelope.
 
     ``allow_normalized``: the policy-in-kernel engine (fast_policy.py)
     handles the normalized RL action space in-kernel; the constant-action
     engine does not.
+
+    ``allow_maze``: the maze-capable kernels additionally handle the
+    competition configuration family (BASELINE config 5): gates/obstacles
+    geometry, competition sparse cost, collision/completion done flags,
+    per-motor white-noise action disturbance, and per-step uniform dynamics
+    force — all in-kernel.
     """
     from safe_control_gym_tpu.envs.quadrotor import QuadType
 
@@ -65,6 +71,7 @@ def supports(cfg, allow_normalized: bool = False) -> bool:
     ti = {**_DEFAULT_TASK_INFO, **(cfg.task_info or {})}
     dist = cfg.disturbances or {}
     dyn = dist.get("dynamics")
+    act_d = dist.get("action")
 
     def _scalar(v):
         return np.asarray(v, dtype=float).size == 1
@@ -78,6 +85,17 @@ def supports(cfg, allow_normalized: bool = False) -> bool:
                 for k in ("magnitude", "duration", "decay_rate"))
         and float(np.asarray(dyn[0].get("decay_rate", 1.0), float)) > 0.0
     )
+    uniform_ok = allow_maze and dyn is not None and (
+        len(dyn) == 1 and dyn[0].get("disturbance_func") == "uniform"
+        and "mask" not in dyn[0]
+    )
+    act_dist_ok = not act_d or (
+        allow_maze
+        and len(act_d) == 1
+        and act_d[0].get("disturbance_func") == "white_noise"
+        and _scalar(act_d[0].get("std", 1.0))
+        and "mask" not in act_d[0]
+    )
     # The kernel applies ONE action weight to all four motors; a per-motor
     # weight vector must fall back unless it is uniform.
     act_w = np.asarray(
@@ -88,19 +106,21 @@ def supports(cfg, allow_normalized: bool = False) -> bool:
         act_w_ok
         and int(cfg.quad_type) == QuadType.THREE_D
         and cfg.physics in ("pyb", "dyn")
-        and cfg.cost == "rl_reward"
+        and (cfg.cost == "rl_reward"
+             or (allow_maze and cfg.cost == "competition"))
         and (allow_normalized or not cfg.normalized_rl_action_space)
         and (cfg.task == "stabilization"
              or (cfg.task == "traj_tracking"
                  and ti.get("trajectory_type") in ("figure8", "circle")))
         and int(cfg.obs_goal_horizon) == 0
-        and not dist.get("observation") and not dist.get("action")
-        and impulse_ok
+        and not dist.get("observation")
+        and act_dist_ok
+        and (impulse_ok or uniform_ok)
         and cfg.adversary_disturbance is None
-        and not (cfg.gates or cfg.obstacles)
+        and (allow_maze or not (cfg.gates or cfg.obstacles))
         and not cfg.done_on_violation
-        and not cfg.done_on_collision
-        and not cfg.done_on_completion
+        and (allow_maze or not cfg.done_on_collision)
+        and (allow_maze or not cfg.done_on_completion)
         and not cfg.use_constraint_penalty
     )
 
@@ -115,195 +135,366 @@ def _bits_to_unit(bits):
     return i32.astype(jnp.float32) * jnp.float32(2.0**-24)
 
 
-def _rollout_kernel(seed_ref, act_ref, st_ref, out_ref, *, p):
-    """p: dict of static parameters (python floats/ints/tuples)."""
-    if p["use_prng"]:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    rows = st_ref[:]
-    act = act_ref[:]
-    # Constant-per-call action: clip + actuation pipeline once.
-    thr = tuple(
-        jnp.clip(act[i], p["a_low"], p["a_high"]) for i in range(4)
-    )
-    forces = tuple(_actuate(t) for t in thr)
-    act_cost = sum((t - p["u_goal"]) ** 2 for t in thr) * p["rew_act_w"]
+def make_draw(p, seed_ref, it):
+    """Uniform-draw helper for in-kernel randomness.
 
-    carry = tuple(rows[i] for i in range(_NROWS))
+    Returns draw(n, salt) -> (n, sub, lanes) uniforms in [0, 1).  On TPU the
+    core PRNG supplies bits; the interpret-mode fallback is a trig hash
+    (TPU PRNG primitives have no CPU lowering) salted per call site.
+    """
+    sub, lanes = p["_sub"], p["_lanes"]
 
-    def fc(s, f, ext, minv, jd):
-        return _fc_rows(s, f, ext, minv, jd, g=p["g"], arm_l=p["arm_l"],
+    def draw(n, salt):
+        if p["use_prng"]:
+            bits = pltpu.prng_random_bits((n, sub, lanes))
+            return _bits_to_unit(pltpu.bitcast(bits, jnp.uint32))
+        shp = (n, sub, lanes)
+        kf = jax.lax.broadcasted_iota(jnp.float32, shp, 0)
+        sf = jax.lax.broadcasted_iota(jnp.float32, shp, 1)
+        lf = jax.lax.broadcasted_iota(jnp.float32, shp, 2)
+        seed_f = seed_ref[0].astype(jnp.float32)
+        h = jnp.sin(kf * 7.91 + sf * 3.77 + lf * 0.613 + salt * 5.197
+                    + it.astype(jnp.float32) * 17.23 + seed_f) * 43758.5453
+        return h - jnp.floor(h)
+
+    return draw
+
+
+def step_env_core(p, carry, thrust_rows, it, draw):
+    """Shared per-step env logic for the whole-rollout kernels.
+
+    One full control step on (sub, lanes)-tiled state rows: action noise,
+    actuation, dynamics disturbances, RK4 substeps, goal reference, reward
+    (rl_reward or competition sparse), maze geometry (gate pass/collision/
+    completion, quadrotor.py:1029-1133 as closed-form tile math), done
+    logic, episode statistics, and masked auto-reset (including per-episode
+    gate/obstacle pose redraws).
+
+    carry: tuple of ``total_rows(p)`` rows.  thrust_rows: 4 thrust tiles
+    (post clip/normalization, PRE action-noise — the reward's action error
+    uses the preprocessed thrust, quadrotor.py:920).  draw(n, salt):
+    uniforms.  Returns (new_carry, rew, done, trunc, violf, collidedf,
+    s_post) where s_post is the post-step PRE-reset state (the terminal
+    observation at episode boundaries).
+    """
+    from safe_control_gym_tpu.envs import gates as GG
+
+    s = carry[:_NX]
+    mass, jd = carry[_R_MASS], carry[_R_J:_R_J + 3]
+    step_f = carry[_R_STEP]
+    offset = carry[_R_OFFSET]
+    stats = carry[_R_STATS:_R_STATS + 7]
+    NG, NO = p.get("n_gates", 0), p.get("n_obstacles", 0)
+    m0 = _NROWS
+    if p.get("maze"):
+        g_rows = carry[m0:m0 + 4 * NG]
+        o_rows = carry[m0 + 4 * NG:m0 + 4 * NG + 2 * NO]
+        mz = m0 + 4 * NG + 2 * NO
+        cur_gate = carry[mz]
+        steps_goal = carry[mz + 1]
+        completed = carry[mz + 2]
+        prev_viol = carry[mz + 3]
+
+    act_cost = sum((t - p["u_goal"]) ** 2 for t in thrust_rows) * p["rew_act_w"]
+
+    # -- action white noise (level2.yaml action disturbance) ----------------
+    if p["act_noise_std"] > 0.0:
+        un = draw(8, 1.0)
+        thrust_rows = [
+            t + p["act_noise_std"]
+            * jnp.sqrt(-2.0 * jnp.log(1.0 - un[i]))
+            * jnp.cos(2.0 * math.pi * un[4 + i])
+            for i, t in enumerate(thrust_rows)
+        ]
+    forces = tuple(_actuate(t) for t in thrust_rows)
+
+    def fc(sv, f, ext, minv, jdv):
+        return _fc_rows(sv, f, ext, minv, jdv, g=p["g"], arm_l=p["arm_l"],
                         km_over_kf=p["km_over_kf"])
 
-    def body(it, carry):
-        s = carry[:_NX]
-        mass, jd = carry[_R_MASS], carry[_R_J:_R_J + 3]
-        step_f = carry[_R_STEP]
-        offset = carry[_R_OFFSET]
-        stats = carry[_R_STATS:]
+    # -- dynamics disturbance: impulse schedule or per-step uniform force ---
+    if p["impulse"] is not None:
+        mag, dur, decay = p["impulse"]
+        peak = offset + float(int(dur / 2))
+        po = jnp.abs(step_f - peak)
+        dec = jnp.where(
+            po < dur / 2.0,
+            jnp.exp(po * math.log(decay)) if decay != 1.0 else jnp.ones_like(po),
+            jnp.zeros_like(po),
+        )
+        n = jnp.where(step_f >= offset, mag * dec, 0.0)
+        ext = (n, n, n)
+    elif p.get("dyn_uniform") is not None:
+        lo3, hi3 = p["dyn_uniform"]
+        ud = draw(3, 2.0)
+        ext = tuple(lo3[k] + ud[k] * (hi3[k] - lo3[k]) for k in range(3))
+    else:
+        z = jnp.zeros_like(step_f)
+        ext = (z, z, z)
 
-        # -- impulse dynamics disturbance (envs/disturbances.py apply) ----
-        if p["impulse"] is not None:
-            mag, dur, decay = p["impulse"]
-            peak = offset + float(int(dur / 2))
-            po = jnp.abs(step_f - peak)
-            # decay**po for any decay > 0, matching the general engine's
-            # exact exponentiation (disturbances.py:151).
-            dec = jnp.where(
-                po < dur / 2.0,
-                jnp.exp(po * math.log(decay)) if decay != 1.0 else jnp.ones_like(po),
-                jnp.zeros_like(po),
+    # -- substeps -----------------------------------------------------------
+    minv = 1.0 / mass
+    for _ in range(p["n_sub"]):
+        if p["euler"]:
+            s = _axpy(s, p["dt"], fc(s, forces, ext, minv, jd))
+        else:
+            k1 = fc(s, forces, ext, minv, jd)
+            k2 = fc(_axpy(s, p["dt"] / 2, k1), forces, ext, minv, jd)
+            k3 = fc(_axpy(s, p["dt"] / 2, k2), forces, ext, minv, jd)
+            k4 = fc(_axpy(s, p["dt"], k3), forces, ext, minv, jd)
+            s = tuple(
+                si + p["dt"] / 6 * (a + 2 * b + 2 * c + d)
+                for si, a, b, c, d in zip(s, k1, k2, k3, k4)
             )
-            n = jnp.where(step_f >= offset, mag * dec, 0.0)
-            ext = (n, n, n)
-        else:
-            z = jnp.zeros_like(step_f)
-            ext = (z, z, z)
 
-        # -- substeps (same chain as ops/pallas_quad kernel) ---------------
-        minv = 1.0 / mass
-        for _ in range(p["n_sub"]):
-            if p["euler"]:
-                s = _axpy(s, p["dt"], fc(s, forces, ext, minv, jd))
-            else:
-                k1 = fc(s, forces, ext, minv, jd)
-                k2 = fc(_axpy(s, p["dt"] / 2, k1), forces, ext, minv, jd)
-                k3 = fc(_axpy(s, p["dt"] / 2, k2), forces, ext, minv, jd)
-                k4 = fc(_axpy(s, p["dt"], k3), forces, ext, minv, jd)
-                s = tuple(
-                    si + p["dt"] / 6 * (a + 2 * b + 2 * c + d)
-                    for si, a, b, c, d in zip(s, k1, k2, k3, k4)
-                )
+    # -- goal reference (closed-form planar curve or static goal) -----------
+    goal = [None] * _NX
+    if p["task"] == "stab":
+        for k in range(_NX):
+            goal[k] = p["x_goal"][k]
+    else:
+        t = step_f * p["ctrl_dt"]
+        w = p["traj_w"]
+        sw, cw = jnp.sin(w * t), jnp.cos(w * t)
+        sc = p["traj_scale"]
+        if p["traj_type"] == "figure8":
+            a_p, b_p = sc * sw, sc * sw * cw
+            a_v, b_v = sc * w * cw, sc * w * (cw * cw - sw * sw)
+        else:  # circle
+            a_p, b_p = sc * cw, sc * sw
+            a_v, b_v = -sc * w * sw, sc * w * cw
+        zero = jnp.zeros_like(sw)
+        p3 = [zero, zero, zero]
+        v3 = [zero, zero, zero]
+        ia, ib = p["plane_idx"]
+        p3[ia] = a_p + p["plane_off"][0]
+        p3[ib] = b_p + p["plane_off"][1]
+        v3[ia] = a_v
+        v3[ib] = b_v
+        M = p["proj"]  # (3, 4) affine rows
+        for k in range(3):
+            gp = M[k][0] * p3[0] + M[k][1] * p3[1] + M[k][2] * p3[2] + M[k][3]
+            gv = M[k][0] * v3[0] + M[k][1] * v3[1] + M[k][2] * v3[2] + M[k][3]
+            goal[2 * k] = gp
+            goal[2 * k + 1] = gv
+        for k in range(6, _NX):
+            goal[k] = zero
 
-        # -- trajectory reference at this env's step: closed-form planar
-        #    curve (benchmark.py:124-139) through the affine plane projection
-        #    (ops/rotations.py transform_trajectory; reference
-        #    transformations.py:107-123 applies the affine map to velocities
-        #    too) --------------------------------------------------------------
-        goal = [None] * _NX
-        if p["task"] == "stab":
-            for k in range(_NX):
-                goal[k] = p["x_goal"][k]
-        else:
-            t = step_f * p["ctrl_dt"]
-            w = p["traj_w"]
-            sw, cw = jnp.sin(w * t), jnp.cos(w * t)
-            sc = p["traj_scale"]
-            if p["traj_type"] == "figure8":
-                a_p, b_p = sc * sw, sc * sw * cw
-                a_v, b_v = sc * w * cw, sc * w * (cw * cw - sw * sw)
-            else:  # circle
-                a_p, b_p = sc * cw, sc * sw
-                a_v, b_v = -sc * w * sw, sc * w * cw
-            zero = jnp.zeros_like(sw)
-            p3 = [zero, zero, zero]
-            v3 = [zero, zero, zero]
-            ia, ib = p["plane_idx"]
-            p3[ia] = a_p + p["plane_off"][0]
-            p3[ib] = b_p + p["plane_off"][1]
-            v3[ia] = a_v
-            v3[ib] = b_v
-            M = p["proj"]  # (3, 4) affine rows
-            for k in range(3):
-                gp = M[k][0] * p3[0] + M[k][1] * p3[1] + M[k][2] * p3[2] + M[k][3]
-                gv = M[k][0] * v3[0] + M[k][1] * v3[1] + M[k][2] * v3[2] + M[k][3]
-                goal[2 * k] = gp
-                goal[2 * k + 1] = gv
-            for k in range(6, _NX):
-                goal[k] = zero
+    # -- maze geometry (quadrotor.py:1029-1133; envs/gates.py math) ---------
+    zero_t = jnp.zeros_like(step_f)
+    collided = zero_t > 1.0  # all-False bool tile
+    stepped = collided
+    at_goal = collided
+    if p.get("maze"):
+        px, py, pz = s[0], s[2], s[4]
+        collided = pz < GG.GROUND_COLLISION_Z
+        r = GG.DRONE_RADIUS
+        hit_cur = zero_t
+        for g in range(NG):
+            gx, gy, gyaw, gh = (g_rows[4 * g + j] for j in range(4))
+            c, sn = jnp.cos(gyaw), jnp.sin(gyaw)
+            relx, rely = px - gx, py - gy
+            u = relx * c + rely * sn
+            nrm = -relx * sn + rely * c
+            wz = pz - gh
+            in_slab = jnp.abs(nrm) < (GG.GATE_SLAB_HALF + r)
+            in_outer = (jnp.abs(u) < GG.GATE_OUTER_HALF + r) & (
+                jnp.abs(wz) < GG.GATE_OUTER_HALF + r)
+            in_inner = (jnp.abs(u) < GG.GATE_INNER_HALF - r) & (
+                jnp.abs(wz) < GG.GATE_INNER_HALF - r)
+            leg = (jnp.sqrt(relx * relx + rely * rely) < GG.OBSTACLE_RADIUS + r) & (
+                pz < gh - GG.GATE_OUTER_HALF)
+            collided = collided | (in_slab & in_outer & ~in_inner) | leg
+            # 7-ray aperture fan (quadrotor.py:1068-1092).
+            hit_g = zero_t > 1.0
+            for i in range(-GG.N_RAY_OFFSETS, GG.N_RAY_OFFSETS + 1):
+                sx = gx + i * GG.RAY_SPACING * c
+                sy = gy + i * GG.RAY_SPACING * sn
+                dz = jnp.clip(pz, gh - GG.RAY_HALF_LENGTH, gh + GG.RAY_HALF_LENGTH) - pz
+                d2 = (px - sx) ** 2 + (py - sy) ** 2 + dz * dz
+                hit_g = hit_g | (d2 < r * r)
+            is_cur = jnp.abs(cur_gate - float(g)) < 0.5
+            hit_cur = jnp.where(is_cur, hit_g.astype(jnp.float32), hit_cur)
+        for o in range(NO):
+            ox, oy = o_rows[2 * o], o_rows[2 * o + 1]
+            relx, rely = px - ox, py - oy
+            o_hit = (jnp.sqrt(relx * relx + rely * rely)
+                     < GG.OBSTACLE_RADIUS + r) & (pz < GG.OBSTACLE_HEIGHT + r)
+            collided = collided | o_hit
+        # Gate progress after the settling window (quadrotor.py:1060:
+        # pyb_step > 0.5 * PYB_FREQ; pyb_step = ctrl_step * n_sub here).
+        active = ((step_f * p["n_sub"]) > (0.5 * p["pyb_freq_f"])) & (cur_gate < float(NG))
+        stepped = active & (hit_cur > 0.5)
+        cur_gate = cur_gate + stepped.astype(jnp.float32)
+        # At-goal / completion (quadrotor.py:1114-1133).
+        gx0, gy0, gz0 = p["goal_xyz"]
+        near = jnp.sqrt((px - gx0) ** 2 + (py - gy0) ** 2 + (pz - gz0) ** 2) \
+            < p["goal_tol"]
+        at_goal = (cur_gate >= float(NG)) & near
+        steps_goal = jnp.where(at_goal, steps_goal + 1.0, 0.0)
+        completed = jnp.maximum(
+            completed, (steps_goal > p["completion_steps"]).astype(jnp.float32)
+        )
 
-        # -- reward (rl_reward, quadrotor.py:886-915) ----------------------
+    # -- violation (state bounds = the default state constraint) ------------
+    viol = None
+    oob_done = zero_t > 1.0
+    for k in range(_NX):
+        lo, hi = p["s_low"][k], p["s_high"][k]
+        out_k = (s[k] < lo) | (s[k] > hi)
+        viol = out_k if viol is None else (viol | out_k)
+        if p["done_oob"] and p["oob_mask"][k]:
+            oob_done = oob_done | out_k
+    violf = viol.astype(jnp.float32) if p["count_viol"] else zero_t
+
+    # -- reward -------------------------------------------------------------
+    if p["cost"] == "competition":
+        # Sparse competition reward (quadrotor.py:932-954); the violation
+        # term uses the PREVIOUS step flag, matching the reference order.
+        rew = (100.0 * stepped.astype(jnp.float32)
+               + 100.0 * at_goal.astype(jnp.float32)
+               - 1000.0 * collided.astype(jnp.float32)
+               - 100.0 * prev_viol)
+    else:
         dist = act_cost
         for k in range(_NX):
             e = s[k] - goal[k]
             dist = dist + p["rew_state_w"][k] * e * e
         rew = jnp.exp(-dist) if p["rew_exp"] else -dist
 
-        # -- done: out-of-bound + time limit -------------------------------
-        new_step = step_f + 1.0
-        done = new_step >= p["max_steps"]
-        viol = None
-        for k in range(_NX):
-            lo, hi = p["s_low"][k], p["s_high"][k]
-            out_k = (s[k] < lo) | (s[k] > hi)
-            viol = out_k if viol is None else (viol | out_k)
-            if p["done_oob"] and p["oob_mask"][k]:
-                done = done | out_k
-        # The general engine reports violations only when constraints are
-        # configured (quadrotor.py:937-941).
-        violf = viol.astype(jnp.float32) if p["count_viol"] \
-            else jnp.zeros_like(step_f)
+    # -- done ---------------------------------------------------------------
+    new_step = step_f + 1.0
+    timeout = new_step >= p["max_steps"]
+    done = oob_done
+    if p.get("maze"):
+        if p["done_collision"]:
+            done = done | collided
+        if p["done_completion"]:
+            done = done | (completed > 0.5)
+    trunc = timeout & ~done
+    done = done | timeout
 
-        # -- episode stats (parallel/rollout.py EpisodeStats.update) -------
-        donef = done.astype(jnp.float32)
-        ep_ret = stats[0] + rew
-        ep_len = stats[1] + 1.0
-        ep_vio = stats[2] + violf
-        new_stats = (
-            ep_ret * (1.0 - donef),
-            ep_len * (1.0 - donef),
-            ep_vio * (1.0 - donef),
-            stats[3] + donef,
-            stats[4] + donef * ep_ret,
-            stats[5] + donef * ep_len,
-            stats[6] + donef * ep_vio,
-        )
+    # -- episode stats ------------------------------------------------------
+    donef = done.astype(jnp.float32)
+    ep_ret = stats[0] + rew
+    ep_len = stats[1] + 1.0
+    ep_vio = stats[2] + violf
+    new_stats = (
+        ep_ret * (1.0 - donef),
+        ep_len * (1.0 - donef),
+        ep_vio * (1.0 - donef),
+        stats[3] + donef,
+        stats[4] + donef * ep_ret,
+        stats[5] + donef * ep_len,
+        stats[6] + donef * ep_vio,
+    )
 
-        # -- masked auto-reset: fresh draws from the core PRNG -------------
-        if p["use_prng"]:
-            bits = pltpu.prng_random_bits((17,) + s[0].shape)
-            u = _bits_to_unit(pltpu.bitcast(bits, jnp.uint32))
-        else:
-            # Interpret-mode fallback (TPU PRNG primitives have no CPU
-            # lowering): a cheap trig hash — only reset draws consume it.
-            shp = (17,) + s[0].shape
-            kf = jax.lax.broadcasted_iota(jnp.float32, shp, 0)
-            sf = jax.lax.broadcasted_iota(jnp.float32, shp, 1)
-            lf = jax.lax.broadcasted_iota(jnp.float32, shp, 2)
-            seed_f = seed_ref[0].astype(jnp.float32)
-            h = jnp.sin(kf * 7.91 + sf * 3.77 + lf * 0.613
-                        + it.astype(jnp.float32) * 17.23 + seed_f) * 43758.5453
-            u = h - jnp.floor(h)
-        nm, lo_v, hi_v = p["rand_nominal"], p["rand_lo"], p["rand_hi"]
-        new_x = []
-        for k in range(_NX):
-            drawn = nm[4 + k] + lo_v[4 + k] + u[k] * (hi_v[4 + k] - lo_v[4 + k])
-            new_x.append(jnp.where(done, drawn, s[k]))
-        new_mass = jnp.where(done, nm[0] + lo_v[0] + u[12] * (hi_v[0] - lo_v[0]), mass)
-        new_j = tuple(
-            jnp.where(done, nm[1 + i] + lo_v[1 + i] + u[13 + i] * (hi_v[1 + i] - lo_v[1 + i]), jd[i])
-            for i in range(3)
-        )
-        new_off = jnp.where(done, jnp.floor(u[16] * p["max_steps"]), offset)
-        new_step = jnp.where(done, 0.0, new_step)
+    # -- masked auto-reset --------------------------------------------------
+    n_draw = 17 + (3 * NG + 2 * NO if p.get("maze") else 0)
+    u = draw(n_draw, 3.0)
+    nm, lo_v, hi_v = p["rand_nominal"], p["rand_lo"], p["rand_hi"]
+    new_x = []
+    for k in range(_NX):
+        drawn = nm[4 + k] + lo_v[4 + k] + u[k] * (hi_v[4 + k] - lo_v[4 + k])
+        new_x.append(jnp.where(done, drawn, s[k]))
+    new_mass = jnp.where(done, nm[0] + lo_v[0] + u[12] * (hi_v[0] - lo_v[0]), mass)
+    new_j = tuple(
+        jnp.where(done, nm[1 + i] + lo_v[1 + i] + u[13 + i] * (hi_v[1 + i] - lo_v[1 + i]), jd[i])
+        for i in range(3)
+    )
+    new_off = jnp.where(done, jnp.floor(u[16] * p["max_steps"]), offset)
+    new_step = jnp.where(done, 0.0, new_step)
+    out = tuple(new_x) + (new_mass,) + new_j + (new_step, new_off) + new_stats
 
-        return tuple(new_x) + (new_mass,) + new_j + (new_step, new_off) + new_stats
+    if p.get("maze"):
+        # Per-episode gate/obstacle pose redraw (quadrotor.py:370-434).
+        # NOTE: in-kernel resets always redraw poses — reseed_on_reset=True
+        # (static course) semantics stay on the general engine.
+        glo, ghi = p["gate_rand"]
+        olo, ohi = p["obst_rand"]
+        new_maze = []
+        di = 17
+        for g in range(NG):
+            nx0, ny0, nyaw, nh = p["gates_nom"][g]
+            gx = jnp.where(done, nx0 + glo + u[di] * (ghi - glo), g_rows[4 * g])
+            gy = jnp.where(done, ny0 + glo + u[di + 1] * (ghi - glo), g_rows[4 * g + 1])
+            gyaw = jnp.where(done, nyaw + glo + u[di + 2] * (ghi - glo), g_rows[4 * g + 2])
+            gh = jnp.where(done, jnp.full_like(step_f, nh), g_rows[4 * g + 3])
+            new_maze += [gx, gy, gyaw, gh]
+            di += 3
+        for o in range(NO):
+            nx0, ny0 = p["obstacles_nom"][o]
+            ox = jnp.where(done, nx0 + olo + u[di] * (ohi - olo), o_rows[2 * o])
+            oy = jnp.where(done, ny0 + olo + u[di + 1] * (ohi - olo), o_rows[2 * o + 1])
+            new_maze += [ox, oy]
+            di += 2
+        new_maze += [
+            jnp.where(done, 0.0, cur_gate),
+            jnp.where(done, 0.0, steps_goal),
+            jnp.where(done, 0.0, completed),
+            violf,  # next step's "previous violation" flag
+        ]
+        out = out + tuple(new_maze)
+
+    return out, rew, done, trunc, violf, collided.astype(jnp.float32), s
+
+
+def _rollout_kernel(seed_ref, act_ref, st_ref, out_ref, *, p):
+    """Constant-action whole-rollout kernel (throughput/benchmark path)."""
+    if p["use_prng"]:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    rows = st_ref[:]
+    act = act_ref[:]
+    thr = tuple(
+        jnp.clip(act[i], p["a_low"], p["a_high"]) for i in range(4)
+    )
+    n_rows = total_rows(p)
+    carry = tuple(rows[i] for i in range(n_rows))
+
+    def body(it, carry):
+        draw = make_draw(p, seed_ref, it)
+        new_carry, *_ = step_env_core(p, carry, list(thr), it, draw)
+        return new_carry
 
     carry = jax.lax.fori_loop(0, p["steps"], body, carry)
     out_ref[:] = jnp.stack(carry, axis=0)
 
 
 def build_engine_params(env, steps_per_call: int, interpret: bool,
-                        allow_normalized: bool = False) -> dict:
+                        allow_normalized: bool = False,
+                        allow_maze: bool = False) -> dict:
     """Static kernel-parameter dict from an env config (shared by the
     constant-action engine below and the policy-in-kernel engine in
     fast_policy.py)."""
+    from safe_control_gym_tpu.envs import gates as gate_geom
     from safe_control_gym_tpu.envs import quadrotor as Q
 
     cfg = env.config
-    assert supports(cfg, allow_normalized=allow_normalized), \
+    assert supports(cfg, allow_normalized=allow_normalized,
+                    allow_maze=allow_maze), \
         "config outside the fast-engine envelope"
 
     ti = {**Q._DEFAULT_TASK_INFO, **(cfg.task_info or {})}
     n_sub = cfg.pyb_freq // cfg.ctrl_freq
     dist = (cfg.disturbances or {}).get("dynamics")
     impulse = None
+    dyn_uniform = None
     if dist:
         d = dist[0]
-        # supports() guarantees scalar specs; ravel handles 1-elem lists.
-        impulse = tuple(
-            float(np.asarray(d.get(k, dflt), dtype=float).ravel()[0])
-            for k, dflt in (("magnitude", 1.0), ("duration", 1), ("decay_rate", 1.0))
-        )
+        if d.get("disturbance_func") == "uniform":
+            lo3 = np.broadcast_to(np.asarray(d.get("low", -1.0), float).ravel(), (3,))
+            hi3 = np.broadcast_to(np.asarray(d.get("high", 1.0), float).ravel(), (3,))
+            dyn_uniform = (tuple(map(float, lo3)), tuple(map(float, hi3)))
+        else:
+            # supports() guarantees scalar specs; ravel handles 1-elem lists.
+            impulse = tuple(
+                float(np.asarray(d.get(k, dflt), dtype=float).ravel()[0])
+                for k, dflt in (("magnitude", 1.0), ("duration", 1), ("decay_rate", 1.0))
+            )
+    act_d = (cfg.disturbances or {}).get("action")
+    act_noise_std = (
+        float(np.asarray(act_d[0].get("std", 1.0), float).ravel()[0]) if act_d else 0.0
+    )
     # Randomization bounds in fast-row order: mass, jx, jy, jz, x0..x11
     # (same affine form as the general engine's consolidated draw).
     inertial = Q._DEFAULT_INERTIAL_RAND if cfg.randomized_inertial_prop else {}
@@ -395,15 +586,111 @@ def build_engine_params(env, steps_per_call: int, interpret: bool,
         normalized=bool(cfg.normalized_rl_action_space),
         norm_act_scale=float(cfg.norm_act_scale),
         hover_thrust=float(Q.GRAVITY_ACC * nominal[0] / 4.0),
+        # Per-step disturbances (maze envelope): white-noise thrust + uniform
+        # dynamics force (level2.yaml:…disturbances).
+        act_noise_std=act_noise_std,
+        dyn_uniform=dyn_uniform,
+        cost="competition" if cfg.cost == "competition" else "rl",
+        pyb_freq_f=float(cfg.pyb_freq),
     )
+
+    # -- competition maze (BASELINE config 5; quadrotor.py:1029-1133) -------
+    gates_nom = np.asarray(cfg.gates if cfg.gates else np.zeros((0, 7)), float).reshape(-1, 7)
+    obstacles_nom = np.asarray(
+        cfg.obstacles if cfg.obstacles else np.zeros((0, 6)), float
+    ).reshape(-1, 6)
+    NG, NO = gates_nom.shape[0], obstacles_nom.shape[0]
+    params["maze"] = bool(NG or NO or cfg.cost == "competition")
+    params["n_gates"] = NG
+    params["n_obstacles"] = NO
+    if params["maze"]:
+        gate_types = gates_nom[:, 6].astype(int) if NG else np.zeros(0, int)
+        heights = [gate_geom.GATE_HEIGHTS[t] for t in gate_types]
+        params["gates_nom"] = tuple(
+            (float(g[0]), float(g[1]), float(g[5]), float(h))
+            for g, h in zip(gates_nom, heights)
+        )
+        params["obstacles_nom"] = tuple(
+            (float(o[0]), float(o[1])) for o in obstacles_nom
+        )
+        go_rand = cfg.gates_and_obstacles_randomization_info or {}
+        if cfg.randomized_gates_and_obstacles:
+            gi = go_rand.get("gates", {"low": -0.15, "high": 0.15})
+            oi = go_rand.get("obstacles", {"low": -0.15, "high": 0.15})
+            params["gate_rand"] = (float(gi["low"]), float(gi["high"]))
+            params["obst_rand"] = (float(oi["low"]), float(oi["high"]))
+        else:
+            params["gate_rand"] = (0.0, 0.0)
+            params["obst_rand"] = (0.0, 0.0)
+        xg = np.asarray(env.x_goal, float).reshape(-1, 12) \
+            if np.asarray(env.x_goal).ndim > 1 else np.asarray(env.x_goal, float)[None]
+        params["goal_xyz"] = (float(xg[0, 0]), float(xg[0, 2]), float(xg[0, 4]))
+        params["goal_tol"] = float(ti.get("stabilization_goal_tolerance", 0.15))
+        params["completion_steps"] = float(cfg.ctrl_freq * 2)
+        params["done_collision"] = bool(cfg.done_on_collision)
+        params["done_completion"] = bool(cfg.done_on_completion)
     return params
+
+
+def maze_rows(p) -> int:
+    """Extra state rows for the maze family: per-env gate poses (4/gate),
+    obstacle xy (2/obstacle), current_gate, steps_at_goal, completed,
+    prev_violation."""
+    if not p.get("maze"):
+        return 0
+    return 4 * p["n_gates"] + 2 * p["n_obstacles"] + 4
+
+
+def total_rows(p) -> int:
+    return _NROWS + maze_rows(p)
+
+
+def reset_rows(p, B, sub, lanes, seed: int = 0):
+    """Fresh packed state rows (host-side): same affine draws as the general
+    engine, incl. per-env gate/obstacle poses for the maze family
+    (quadrotor.py:370-493)."""
+    def tile(a):
+        return np.asarray(a, np.float32).T.reshape(-1, sub, lanes)
+
+    rng = np.random.default_rng(seed)
+    nm = np.asarray(p["rand_nominal"])
+    lo = np.asarray(p["rand_lo"])
+    hi = np.asarray(p["rand_hi"])
+    u = rng.random((B, 16), dtype=np.float32)
+    drawn = nm + lo + u * (hi - lo)  # (B, 16): mass, j3, x12
+    rows = np.zeros((total_rows(p), sub, lanes), np.float32)
+    rows[:_NX] = tile(drawn[:, 4:])
+    rows[_R_MASS] = tile(drawn[:, :1])[0]
+    rows[_R_J:_R_J + 3] = tile(drawn[:, 1:4])
+    rows[_R_OFFSET] = tile(
+        np.floor(rng.random((B, 1)) * p["max_steps"]).astype(np.float32)
+    )[0]
+    if p.get("maze"):
+        NG, NO = p["n_gates"], p["n_obstacles"]
+        glo, ghi = p["gate_rand"]
+        olo, ohi = p["obst_rand"]
+        m0 = _NROWS
+        for g in range(NG):
+            nx0, ny0, nyaw, nh = p["gates_nom"][g]
+            for j, nv in enumerate((nx0, ny0, nyaw)):
+                rows[m0 + 4 * g + j] = tile(
+                    (nv + rng.uniform(glo, ghi, (B, 1))).astype(np.float32)
+                )[0]
+            rows[m0 + 4 * g + 3] = nh
+        for o in range(NO):
+            nx0, ny0 = p["obstacles_nom"][o]
+            for j, nv in enumerate((nx0, ny0)):
+                rows[m0 + 4 * NG + 2 * o + j] = tile(
+                    (nv + rng.uniform(olo, ohi, (B, 1))).astype(np.float32)
+                )[0]
+    return jnp.asarray(rows)
 
 
 class FastQuadRollout:
     """Host wrapper: packed state + one-dispatch rollout calls."""
 
     def __init__(self, env, num_envs: int, steps_per_call: int = 256,
-                 sub: int = 8, interpret: bool = False):
+                 sub: int = 8, interpret: bool = False, allow_maze: bool = True):
         cfg = env.config
         assert num_envs % (sub * 128) == 0, "num_envs must be a multiple of sub*128"
         self.env = env
@@ -412,7 +699,11 @@ class FastQuadRollout:
         self.lanes = num_envs // sub
         self.steps = steps_per_call
         self._auto_seed = 1
-        self.params = build_engine_params(env, steps_per_call, interpret)
+        self.params = build_engine_params(env, steps_per_call, interpret,
+                                          allow_maze=allow_maze)
+        self.params["_sub"] = sub
+        self.params["_lanes"] = self.lanes
+        self.n_rows = total_rows(self.params)
         kern = functools.partial(_rollout_kernel, p=self.params)
         spec = lambda rows: pl.BlockSpec(
             (rows, sub, self.lanes), lambda i: (0, 0, i), memory_space=pltpu.VMEM
@@ -424,10 +715,10 @@ class FastQuadRollout:
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     spec(4),
-                    spec(_NROWS),
+                    spec(self.n_rows),
                 ],
-                out_specs=spec(_NROWS),
-                out_shape=jax.ShapeDtypeStruct((_NROWS, sub, self.lanes), jnp.float32),
+                out_specs=spec(self.n_rows),
+                out_shape=jax.ShapeDtypeStruct((self.n_rows, sub, self.lanes), jnp.float32),
                 interpret=interpret,
             )
         )
@@ -439,24 +730,11 @@ class FastQuadRollout:
 
     def reset(self, seed: int = 0):
         """Fresh packed state: same affine draws as the general engine."""
-        rng = np.random.default_rng(seed)
-        nm = np.asarray(self.params["rand_nominal"])
-        lo = np.asarray(self.params["rand_lo"])
-        hi = np.asarray(self.params["rand_hi"])
-        u = rng.random((self.B, 16), dtype=np.float32)
-        drawn = nm + lo + u * (hi - lo)  # (B, 16): mass, j3, x12
-        rows = np.zeros((_NROWS, self.sub, self.lanes), np.float32)
-        rows[:_NX] = self._tile(drawn[:, 4:])
-        rows[_R_MASS] = self._tile(drawn[:, :1])[0]
-        rows[_R_J:_R_J + 3] = self._tile(drawn[:, 1:4])
-        rows[_R_OFFSET] = self._tile(
-            np.floor(rng.random((self.B, 1)) * self.params["max_steps"]).astype(np.float32)
-        )[0]
-        return jnp.asarray(rows)
+        return reset_rows(self.params, self.B, self.sub, self.lanes, seed)
 
     def pack(self, env_states):
         """Pack a batched general-engine QuadState into fast rows."""
-        rows = np.zeros((_NROWS, self.sub, self.lanes), np.float32)
+        rows = np.zeros((self.n_rows, self.sub, self.lanes), np.float32)
         rows[:_NX] = self._tile(np.asarray(env_states.x))
         rows[_R_MASS] = self._tile(np.asarray(env_states.mass)[:, None])[0]
         rows[_R_J:_R_J + 3] = self._tile(np.asarray(env_states.j_diag))
@@ -464,10 +742,32 @@ class FastQuadRollout:
             np.asarray(env_states.ctrl_step, np.float32)[:, None]
         )[0]
         sched = env_states.dist_sched.get("dynamics")
-        if isinstance(sched, dict) and sched["offsets"].shape[-1]:
+        if isinstance(sched, dict) and sched.get("offsets") is not None \
+                and np.asarray(sched["offsets"]).shape[-1]:
             rows[_R_OFFSET] = self._tile(
                 np.asarray(sched["offsets"], np.float32)
             )[0]
+        p = self.params
+        if p.get("maze"):
+            NG, NO = p["n_gates"], p["n_obstacles"]
+            m0 = _NROWS
+            ge = np.asarray(env_states.gates_eff, np.float32)  # (B, NG, 4)
+            for g in range(NG):
+                for j in range(4):
+                    rows[m0 + 4 * g + j] = self._tile(ge[:, g, j:j + 1])[0]
+            oe = np.asarray(env_states.obstacles_eff, np.float32)  # (B, NO, 2)
+            for o in range(NO):
+                for j in range(2):
+                    rows[m0 + 4 * NG + 2 * o + j] = self._tile(oe[:, o, j:j + 1])[0]
+            mz = m0 + 4 * NG + 2 * NO
+            rows[mz] = self._tile(
+                np.asarray(env_states.current_gate, np.float32)[:, None])[0]
+            rows[mz + 1] = self._tile(
+                np.asarray(env_states.steps_at_goal, np.float32)[:, None])[0]
+            rows[mz + 2] = self._tile(
+                np.asarray(env_states.task_completed, np.float32)[:, None])[0]
+            rows[mz + 3] = self._tile(
+                np.asarray(env_states.cnstr_violation, np.float32)[:, None])[0]
         return jnp.asarray(rows)
 
     def states(self, rows):
@@ -475,7 +775,7 @@ class FastQuadRollout:
         return np.asarray(rows[:_NX]).reshape(_NX, self.B).T
 
     def stats(self, rows):
-        r = np.asarray(rows[_R_STATS:]).reshape(7, self.B)
+        r = np.asarray(rows[_R_STATS:_R_STATS + 7]).reshape(7, self.B)
         d = dict(zip(_STATS_KEYS, r))
         n = max(d["done_count"].sum(), 1.0)
         return {

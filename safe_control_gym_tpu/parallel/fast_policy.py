@@ -50,7 +50,11 @@ from safe_control_gym_tpu.parallel.fast_env import (
     _R_STEP,
     _bits_to_unit,
     build_engine_params,
+    make_draw,
+    reset_rows,
+    step_env_core,
     supports,
+    total_rows,
 )
 
 # Trajectory-record row layout (per step, each row an (8, L) tile).
@@ -76,12 +80,9 @@ def _policy_rollout_kernel(
     w3, b3 = w3_ref[:], b3_ref[:]
     sub, lanes = rows.shape[1], rows.shape[2]
     BB = sub * lanes
+    n_rows = total_rows(p)
 
-    carry = tuple(rows[i] for i in range(_NROWS))
-
-    def fc(s, f, ext, minv, jd):
-        return _fc_rows(s, f, ext, minv, jd, g=p["g"], arm_l=p["arm_l"],
-                        km_over_kf=p["km_over_kf"])
+    carry = tuple(rows[i] for i in range(n_rows))
 
     act_fn = jnp.tanh if p["mlp_act"] == "tanh" else \
         (lambda z: jnp.maximum(z, 0.0))
@@ -97,27 +98,16 @@ def _policy_rollout_kernel(
         return O[0:4], O[4:5]
 
     def body(it, carry):
-        s = carry[:_NX]
-        mass, jd = carry[_R_MASS], carry[_R_J:_R_J + 3]
-        step_f = carry[_R_STEP]
-        offset = carry[_R_OFFSET]
-        stats = carry[_R_STATS:]
+        draw = make_draw(p, seed_ref, it)
+        s_pre = carry[:_NX]
 
         # -- policy + value forward -----------------------------------------
-        mean, value = forward(s)
+        mean, value = forward(s_pre)
 
         # -- Gaussian sampling (Box-Muller on core-PRNG bits) ---------------
-        if p["use_prng"]:
-            bits = pltpu.prng_random_bits((8, BB))
-            u = _bits_to_unit(pltpu.bitcast(bits, jnp.uint32))
-        else:
-            kf = jax.lax.broadcasted_iota(jnp.float32, (8, BB), 0)
-            lf = jax.lax.broadcasted_iota(jnp.float32, (8, BB), 1)
-            h0 = jnp.sin(kf * 12.99 + lf * 0.713 + it.astype(jnp.float32) * 7.77
-                         + seed_ref[0].astype(jnp.float32)) * 43758.5453
-            u = h0 - jnp.floor(h0)
-        u1 = 1.0 - u[0:4]  # (0, 1]: keeps the log finite
-        u2 = u[4:8]
+        u = draw(8, 7.0)
+        u1 = 1.0 - u[0:4].reshape(4, BB)  # (0, 1]: keeps the log finite
+        u2 = u[4:8].reshape(4, BB)
         eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * math.pi * u2)
 
         # All policy quantities in (k, BB) matrix space, then ONE reshape
@@ -143,117 +133,16 @@ def _policy_rollout_kernel(
         thrust_rows = [pol3[i] for i in range(4)]
         act_rows = [pol3[4 + i] for i in range(4)]
         v_tile, logp_tile = pol3[8], pol3[9]
-        forces = tuple(_actuate(t) for t in thrust_rows)
-        act_cost = sum(
-            (t - p["u_goal"]) ** 2 for t in thrust_rows
-        ) * p["rew_act_w"]
 
-        # -- impulse dynamics disturbance ----------------------------------
-        if p["impulse"] is not None:
-            mag, dur, decay = p["impulse"]
-            peak = offset + float(int(dur / 2))
-            po = jnp.abs(step_f - peak)
-            dec = jnp.where(
-                po < dur / 2.0,
-                jnp.exp(po * math.log(decay)) if decay != 1.0 else jnp.ones_like(po),
-                jnp.zeros_like(po),
-            )
-            n = jnp.where(step_f >= offset, mag * dec, 0.0)
-            ext = (n, n, n)
-        else:
-            z = jnp.zeros_like(step_f)
-            ext = (z, z, z)
-
-        # -- substeps (same chain as fast_env._rollout_kernel) --------------
-        s_pre = s
-        minv = 1.0 / mass
-        for _ in range(p["n_sub"]):
-            if p["euler"]:
-                s = _axpy(s, p["dt"], fc(s, forces, ext, minv, jd))
-            else:
-                k1 = fc(s, forces, ext, minv, jd)
-                k2 = fc(_axpy(s, p["dt"] / 2, k1), forces, ext, minv, jd)
-                k3 = fc(_axpy(s, p["dt"] / 2, k2), forces, ext, minv, jd)
-                k4 = fc(_axpy(s, p["dt"], k3), forces, ext, minv, jd)
-                s = tuple(
-                    si + p["dt"] / 6 * (a + 2 * b + 2 * c + d)
-                    for si, a, b, c, d in zip(s, k1, k2, k3, k4)
-                )
-
-        # -- trajectory reference (closed-form, fast_env comment applies) ---
-        goal = [None] * _NX
-        if p["task"] == "stab":
-            for k in range(_NX):
-                goal[k] = p["x_goal"][k]
-        else:
-            t = step_f * p["ctrl_dt"]
-            w = p["traj_w"]
-            sw, cw = jnp.sin(w * t), jnp.cos(w * t)
-            sc = p["traj_scale"]
-            if p["traj_type"] == "figure8":
-                a_p, b_p = sc * sw, sc * sw * cw
-                a_v, b_v = sc * w * cw, sc * w * (cw * cw - sw * sw)
-            else:  # circle
-                a_p, b_p = sc * cw, sc * sw
-                a_v, b_v = -sc * w * sw, sc * w * cw
-            zero = jnp.zeros_like(sw)
-            p3 = [zero, zero, zero]
-            v3 = [zero, zero, zero]
-            ia, ib = p["plane_idx"]
-            p3[ia] = a_p + p["plane_off"][0]
-            p3[ib] = b_p + p["plane_off"][1]
-            v3[ia] = a_v
-            v3[ib] = b_v
-            M = p["proj"]
-            for k in range(3):
-                gp = M[k][0] * p3[0] + M[k][1] * p3[1] + M[k][2] * p3[2] + M[k][3]
-                gv = M[k][0] * v3[0] + M[k][1] * v3[1] + M[k][2] * v3[2] + M[k][3]
-                goal[2 * k] = gp
-                goal[2 * k + 1] = gv
-            for k in range(6, _NX):
-                goal[k] = zero
-
-        # -- reward ---------------------------------------------------------
-        dist = act_cost
-        for k in range(_NX):
-            e = s[k] - goal[k]
-            dist = dist + p["rew_state_w"][k] * e * e
-        rew = jnp.exp(-dist) if p["rew_exp"] else -dist
-
-        # -- done: out-of-bound + time limit --------------------------------
-        new_step = step_f + 1.0
-        timeout = new_step >= p["max_steps"]
-        oob_done = jnp.zeros_like(timeout)
-        viol = None
-        for k in range(_NX):
-            lo, hi = p["s_low"][k], p["s_high"][k]
-            out_k = (s[k] < lo) | (s[k] > hi)
-            viol = out_k if viol is None else (viol | out_k)
-            if p["done_oob"] and p["oob_mask"][k]:
-                oob_done = oob_done | out_k
-        done = timeout | oob_done
-        trunc = timeout & ~oob_done  # TimeLimit.truncated semantics
-        violf = viol.astype(jnp.float32) if p["count_viol"] \
-            else jnp.zeros_like(step_f)
-
-        # -- episode stats --------------------------------------------------
-        donef = done.astype(jnp.float32)
-        ep_ret = stats[0] + rew
-        ep_len = stats[1] + 1.0
-        ep_vio = stats[2] + violf
-        new_stats = (
-            ep_ret * (1.0 - donef),
-            ep_len * (1.0 - donef),
-            ep_vio * (1.0 - donef),
-            stats[3] + donef,
-            stats[4] + donef * ep_ret,
-            stats[5] + donef * ep_len,
-            stats[6] + donef * ep_vio,
+        # -- shared env step (dynamics/reward/done/stats/auto-reset) --------
+        new_carry, rew, done, trunc, violf, collidedf, s_post = step_env_core(
+            p, carry, thrust_rows, it, draw
         )
+        donef = done.astype(jnp.float32)
+        truncf = trunc.astype(jnp.float32)
 
         # -- trajectory record: wait slot, fill scratch, start DMA ----------
         slot = jax.lax.rem(it, 2)
-        truncf = trunc.astype(jnp.float32)
 
         @pl.when(it >= 2)
         def _wait_prev():
@@ -265,40 +154,14 @@ def _policy_rollout_kernel(
             list(s_pre)
             + act_rows
             + [rew, donef, truncf, v_tile, logp_tile]
-            + [si * truncf for si in s],  # terminal obs, masked to truncation
+            + [si * truncf for si in s_post],  # terminal obs, masked
             axis=0,
         )
         scratch_ref[slot] = record
         pltpu.make_async_copy(
             scratch_ref.at[slot], traj_ref.at[it], sem_ref.at[slot]
         ).start()
-
-        # -- masked auto-reset (fast_env semantics) -------------------------
-        if p["use_prng"]:
-            bits = pltpu.prng_random_bits((17, sub, lanes))
-            ur = _bits_to_unit(pltpu.bitcast(bits, jnp.uint32))
-        else:
-            kf = jax.lax.broadcasted_iota(jnp.float32, (17, sub, lanes), 0)
-            sf = jax.lax.broadcasted_iota(jnp.float32, (17, sub, lanes), 1)
-            lf = jax.lax.broadcasted_iota(jnp.float32, (17, sub, lanes), 2)
-            h0 = jnp.sin(kf * 7.91 + sf * 3.77 + lf * 0.613
-                         + it.astype(jnp.float32) * 17.23
-                         + seed_ref[0].astype(jnp.float32)) * 43758.5453
-            ur = h0 - jnp.floor(h0)
-        nm, lo_v, hi_v = p["rand_nominal"], p["rand_lo"], p["rand_hi"]
-        new_x = []
-        for k in range(_NX):
-            drawn = nm[4 + k] + lo_v[4 + k] + ur[k] * (hi_v[4 + k] - lo_v[4 + k])
-            new_x.append(jnp.where(done, drawn, s[k]))
-        new_mass = jnp.where(done, nm[0] + lo_v[0] + ur[12] * (hi_v[0] - lo_v[0]), mass)
-        new_j = tuple(
-            jnp.where(done, nm[1 + i] + lo_v[1 + i] + ur[13 + i] * (hi_v[1 + i] - lo_v[1 + i]), jd[i])
-            for i in range(3)
-        )
-        new_off = jnp.where(done, jnp.floor(ur[16] * p["max_steps"]), offset)
-        new_step = jnp.where(done, 0.0, new_step)
-
-        return tuple(new_x) + (new_mass,) + new_j + (new_step, new_off) + new_stats
+        return new_carry
 
     carry = jax.lax.fori_loop(0, p["steps"], body, carry)
     # Drain the last two in-flight records.
@@ -327,9 +190,13 @@ class FastPolicyRollout:
         self.H = mlp_hidden
         self._auto_seed = 1
         self.params = build_engine_params(
-            env, steps_per_call, interpret, allow_normalized=True
+            env, steps_per_call, interpret, allow_normalized=True,
+            allow_maze=True,
         )
         self.params["mlp_act"] = mlp_act
+        self.params["_sub"] = sub
+        self.params["_lanes"] = self.lanes
+        self.n_rows = total_rows(self.params)
         p = dict(self.params)
         kern = functools.partial(_policy_rollout_kernel, p=p)
         L = self.lanes
@@ -348,11 +215,11 @@ class FastPolicyRollout:
                     vmem(), vmem(),  # w1 (2H, 12), b1 (2H, 1)
                     vmem(), vmem(),  # w2 (2H, 2H), b2 (2H, 1)
                     vmem(), vmem(),  # w3 (8, 2H), b3 (8, 1)
-                    spec(_NROWS),    # state rows
+                    spec(self.n_rows),  # state rows
                 ],
-                out_specs=[spec(_NROWS), pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=[spec(self.n_rows), pl.BlockSpec(memory_space=pl.ANY)],
                 out_shape=[
-                    jax.ShapeDtypeStruct((_NROWS, sub, L), jnp.float32),
+                    jax.ShapeDtypeStruct((self.n_rows, sub, L), jnp.float32),
                     jax.ShapeDtypeStruct((steps_per_call, TRAJ_ROWS, sub, L), jnp.float32),
                 ],
                 scratch_shapes=[
@@ -370,20 +237,7 @@ class FastPolicyRollout:
 
     def reset(self, seed: int = 0):
         """Fresh packed state: same affine draws as the general engine."""
-        rng = np.random.default_rng(seed)
-        nm = np.asarray(self.params["rand_nominal"])
-        lo = np.asarray(self.params["rand_lo"])
-        hi = np.asarray(self.params["rand_hi"])
-        u = rng.random((self.B, 16), dtype=np.float32)
-        drawn = nm + lo + u * (hi - lo)  # (B, 16): mass, j3, x12
-        rows = np.zeros((_NROWS, self.sub, self.lanes), np.float32)
-        rows[:_NX] = self._tile(drawn[:, 4:])
-        rows[_R_MASS] = self._tile(drawn[:, :1])[0]
-        rows[_R_J:_R_J + 3] = self._tile(drawn[:, 1:4])
-        rows[_R_OFFSET] = self._tile(
-            np.floor(rng.random((self.B, 1)) * self.params["max_steps"]).astype(np.float32)
-        )[0]
-        return jnp.asarray(rows)
+        return reset_rows(self.params, self.B, self.sub, self.lanes, seed)
 
     # -- weight packing ------------------------------------------------------
     def pack_weights(self, actor_params, critic_params, logstd):
