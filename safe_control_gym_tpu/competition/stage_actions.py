@@ -91,21 +91,28 @@ class StageActionHardBrake(StageAction):
 
 
 def _gate_correction_offset(ref_p, corrections, radius=0.8):
-    """Shift a reference point by the measured next-gate pose correction.
+    """Shift a reference point by the measured gate pose corrections.
 
     The env reveals the exact gate pose only once the drone is in range
     (reference ek_controller_impl.py:228-291); the offset is blended in with
-    a Gaussian weight centered on the gate so the track deforms locally
-    instead of jumping.
+    a Gaussian weight centered on each gate so the track deforms locally
+    instead of jumping.  Both the NEXT and the PREVIOUS target gate
+    contribute: when the target advances mid-crossing, the passed gate's
+    correction must persist around its frame — dropping it snapped the
+    setpoint ~8 cm at the aperture and clipped the frame edge (level2,
+    stock-gain tracking).
     """
     if not corrections:
         return np.zeros(3)
-    delta = np.asarray(corrections.get("next_gate_correction", np.zeros(3)))
-    if not np.any(delta):
-        return np.zeros(3)
-    gate = np.asarray(corrections.get("next_gate_location", np.full(3, 99.0)))
-    d = np.linalg.norm(np.asarray(ref_p) - gate)
-    return delta * np.exp(-0.5 * (d / radius) ** 2)
+    off = np.zeros(3)
+    for which in ("next", "prev"):
+        delta = np.asarray(corrections.get(f"{which}_gate_correction", np.zeros(3)))
+        if not np.any(delta):
+            continue
+        gate = np.asarray(corrections.get(f"{which}_gate_location", np.full(3, 99.0)))
+        d = np.linalg.norm(np.asarray(ref_p) - gate)
+        off = off + delta * np.exp(-0.5 * (d / radius) ** 2)
+    return off
 
 
 class StageActionSpline(StageAction):
@@ -114,13 +121,32 @@ class StageActionSpline(StageAction):
     speed: crawl through apertures, race between them."""
 
     def __init__(self, ctrl_freq, trajectory, speed_scale=1.0,
-                 gate_centers=None, gate_slow_scale=0.3, gate_slow_radius=0.7):
+                 gate_centers=None, gate_slow_scale=0.3, gate_slow_radius=0.7,
+                 gate_exit_radius=None):
         self.ctrl_freq = ctrl_freq
         self.traj = trajectory
         self.speed_scale = speed_scale
         self.gate_centers = gate_centers or []
         self.gate_slow_scale = gate_slow_scale
         self.gate_slow_radius = gate_slow_radius
+        # Asymmetric crawl: approach slowly over gate_slow_radius (shed
+        # cross-track error before the aperture), exit over the shorter
+        # gate_exit_radius (the frame is behind once crossed) — symmetric
+        # wide crawls cost ~2x the course time for no extra safety.
+        self.gate_exit_radius = (
+            gate_slow_radius * 0.45 if gate_exit_radius is None else gate_exit_radius
+        )
+        # Plan times at which each gate is crossed (for the signed
+        # before/after decision).
+        self.gate_times = []
+        if self.gate_centers:
+            import numpy as _np
+
+            ts = _np.linspace(trajectory.start_time, trajectory.end_time, 400)
+            ps = _np.stack([trajectory.position(t).reshape(-1)[:3] for t in ts])
+            for g in self.gate_centers:
+                d = _np.linalg.norm(ps - _np.asarray(g)[None], axis=-1)
+                self.gate_times.append(float(ts[int(d.argmin())]))
         self.reset()
 
     def reset(self):
@@ -133,9 +159,13 @@ class StageActionSpline(StageAction):
             # Continuous Gaussian blend toward the crawl speed near gates: a
             # hard radius switch steps the commanded velocity by >50%, which
             # rings the position loop through the stock Mellinger attitude
-            # damping (KD_OMEGA_RP=200) and cost a gate collision.
-            dmin = min(np.linalg.norm(ref_p - g) for g in self.gate_centers)
-            w = np.exp(-0.5 * (dmin / max(self.gate_slow_radius, 1e-6)) ** 2)
+            # damping (KD_OMEGA_RP=200) and cost a gate collision.  The
+            # radius is ASYMMETRIC around each gate's crossing time.
+            w = 0.0
+            for g, tg in zip(self.gate_centers, self.gate_times):
+                d = np.linalg.norm(ref_p - g)
+                r = self.gate_slow_radius if self.ref_t <= tg else self.gate_exit_radius
+                w = max(w, np.exp(-0.5 * (d / max(r, 1e-6)) ** 2))
             scale = self.speed_scale + (self.gate_slow_scale - self.speed_scale) * w
         self.ref_t = min(self.ref_t + scale / self.ctrl_freq, self.traj.end_time)
         done = self.ref_t >= self.traj.end_time
