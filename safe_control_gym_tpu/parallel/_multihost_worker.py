@@ -57,13 +57,16 @@ def perf_main():
 
     vec = make_vec_env(env, num_envs)
     run = sharded_rollout_fn(vec, policy, num_steps, mesh, axis_name=axes)
-    carry, _ = run(carry)  # compile
-    carry, _ = run(carry)  # output-sharding retrace
-    jax.device_get(carry.obs)
+    # Completion barrier on the REPLICATED stats output: the carry spans
+    # non-addressable devices in multi-process runs and cannot be fetched.
+    carry, st = run(carry)  # compile
+    jax.device_get(st["episodes"])
+    carry, st = run(carry)  # output-sharding retrace
+    jax.device_get(st["episodes"])
     t0 = time.perf_counter()
     for _ in range(iters):
-        carry, stats = run(carry)
-    jax.device_get(carry.obs)
+        carry, st = run(carry)
+    jax.device_get(st["episodes"])
     dt = time.perf_counter() - t0
     sps = iters * num_steps * num_envs / dt
     if jax.process_index() == 0:
