@@ -199,6 +199,77 @@ def bench_policy_in_loop():
     return iters * T * B / dt
 
 
+def bench_rl_train():
+    """Full PPO TRAINING throughput (VERDICT r2 item 4): policy-in-kernel
+    collection + GAE + 10 SGD epochs as one jitted program, B=4096 x T=128
+    (the measured sweet spot, docs/PERF.md) — env-steps/s through the
+    complete train step, the reference's SubprocVecEnv->torch loop analogue
+    (ppo.py:247-293)."""
+    import dataclasses
+
+    from safe_control_gym_tpu.controllers.ppo import PPO
+    from safe_control_gym_tpu.parallel.fast_env import supports
+
+    cfg = dataclasses.replace(build.cfg, normalized_rl_action_space=True)
+    if not supports(cfg, allow_normalized=True):
+        return None
+    env = make_quadrotor(cfg)
+    batch, steps, iters = B, 128, 4
+    ppo = PPO(env, seed=0, rollout_batch_size=batch, rollout_steps=steps,
+              opt_epochs=10, mini_batch_size=batch * steps // 4,
+              use_fast_rollout=True, reshuffle_each_epoch=False)
+    state = ppo.state
+    state, _ = ppo._train_step(state)
+    jax.device_get(state.total_steps)
+    state, _ = ppo._train_step(state)
+    jax.device_get(state.total_steps)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = ppo._train_step(state)
+    jax.device_get(metrics["policy_loss"])
+    dt = time.perf_counter() - t0
+    return iters * batch * steps / dt
+
+
+def load_prev_bench():
+    """Newest committed BENCH_r*.json — the perf regression base (VERDICT r2
+    item 8: deltas or variance claims stay unfalsifiable)."""
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    if not paths:
+        return None, None
+    try:
+        with open(paths[-1]) as f:
+            rec = json.load(f)
+        # Driver artifacts nest the bench record under "parsed".
+        return rec.get("parsed", rec), os.path.basename(paths[-1])
+    except (OSError, json.JSONDecodeError):
+        return None, None
+
+
+def regression_deltas(record, prev):
+    """Per-engine fractional deltas vs the prior artifact; flags >10%
+    regressions (tunnel run-to-run variance is ~5%, docs/PERF.md:39-43, so
+    a 10% drop is signal, not noise)."""
+    if not prev:
+        return None, []
+    keys = ("value", "general_engine_value", "policy_in_loop_value",
+            "maze_level2_value", "rl_train_value")
+    deltas, flagged = {}, []
+    for k in keys:
+        new_v, old_v = record.get(k), prev.get(k)
+        if new_v is None or old_v is None or not old_v:
+            continue
+        d = new_v / old_v - 1.0
+        deltas[k] = round(d, 4)
+        if d < -0.10:
+            flagged.append(k)
+    return deltas, flagged
+
+
 def main():
     run, carry = build()
     # Warmup / compile (twice: first output's shardings retrace once).
@@ -219,28 +290,37 @@ def main():
     fast = bench_fast()
     policy_loop = bench_policy_in_loop()
     maze = bench_maze()
+    rl_train = bench_rl_train()
     headline = fast if fast is not None else general
-    print(
-        json.dumps(
-            {
-                "metric": "env_steps_per_sec_per_chip_quad3d_4096",
-                "value": round(headline, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(headline / BASELINE_TARGET, 4),
-                "engine": "fast_rollout" if fast is not None else "general",
-                "general_engine_value": round(general, 1),
-                # Closed-loop: PPO actor+critic forward + sampling in-kernel
-                # each step, full trajectory recorded (the RL collection
-                # path) — not open-loop.
-                "policy_in_loop_value": (
-                    round(policy_loop, 1) if policy_loop is not None else None
-                ),
-                # BASELINE config 5: level2-class randomized maze with
-                # in-kernel gate/obstacle geometry + competition cost.
-                "maze_level2_value": round(maze, 1) if maze is not None else None,
-            }
-        )
-    )
+    record = {
+        "metric": "env_steps_per_sec_per_chip_quad3d_4096",
+        "value": round(headline, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(headline / BASELINE_TARGET, 4),
+        "engine": "fast_rollout" if fast is not None else "general",
+        "general_engine_value": round(general, 1),
+        # Closed-loop: PPO actor+critic forward + sampling in-kernel
+        # each step, full trajectory recorded (the RL collection
+        # path) — not open-loop.
+        "policy_in_loop_value": (
+            round(policy_loop, 1) if policy_loop is not None else None
+        ),
+        # BASELINE config 5: level2-class randomized maze with
+        # in-kernel gate/obstacle geometry + competition cost.
+        "maze_level2_value": round(maze, 1) if maze is not None else None,
+        # Full PPO train step (collection + GAE + 10 SGD epochs),
+        # B=4096 x T=128 — the RL-training bar (>=2e7).
+        "rl_train_value": round(rl_train, 1) if rl_train is not None else None,
+    }
+    prev, prev_name = load_prev_bench()
+    deltas, flagged = regression_deltas(record, prev)
+    if deltas is not None:
+        record["delta_vs_prev"] = deltas
+        record["prev_artifact"] = prev_name
+        # >10% drops are flagged; single-chip tunnel variance is ~5%
+        # run-to-run, so these need a look before being written off.
+        record["regressions_flagged"] = flagged
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

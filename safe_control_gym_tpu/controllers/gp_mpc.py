@@ -124,6 +124,8 @@ class GPMPC(MPC):
         )
         # Rebuild the solver around the GP-corrected dynamics.
         self._solve = jax.jit(self._make_gp_solver())
+        if hasattr(self, "_margins_jit"):
+            del self._margins_jit  # stale GP closure
         self._prev_us = None
         self._prev_mu = None
         return {"train_points": Z.shape[0]}
@@ -135,24 +137,7 @@ class GPMPC(MPC):
         cc = self._cc
         tol = self.constraint_tol
         fd = lambda x, u: self._fd_gp(gp, x, u)
-
-        def tighten(x, u):
-            """Constraint tightening by the GP residual std at (x, u)
-            (mean-equivalent form of precompute_probabilistic_limits)."""
-            z = jnp.concatenate([x, u])[self.input_mask][None]
-            _, var = gp_predict(gp, z)
-            # Project residual std onto constraint rows through A_x.
-            std_x = jnp.zeros(model.nx, x.dtype).at[self.target_mask].set(
-                jnp.sqrt(var[0])
-            )
-            margin = jnp.abs(jnp.asarray(cc.A_x, x.dtype)) @ std_x * self.z_score
-            full = jnp.zeros(cc.num_constraints, x.dtype)
-            return full.at[jnp.arange(margin.shape[0])].set(margin)
-
-        if cc is not None:
-            constraint_fn = lambda x, u: cc.get_values_raw(x, u) + tol + tighten(x, u)
-        else:
-            constraint_fn = None
+        precompute_margins = self._build_margins_fn() if cc is not None else None
 
         def solve(x0, ref, us_init, mu0):
             def stage_cost(x, u, k):
@@ -164,19 +149,92 @@ class GPMPC(MPC):
                 dx = x - ref[T]
                 return 0.5 * dx @ P @ dx
 
-            if constraint_fn is None:
+            if cc is None:
                 res = ilqr_solve(
                     fd, stage_cost, term_cost, x0, us_init,
                     iters=self.al_iters * self.inner_iters,
                 )
                 return res.us, res.cost, mu0
+            margins = precompute_margins(x0, us_init)
+            constraint_fn = lambda x, u, k: (
+                cc.get_values_raw(x, u) + tol + margins[k]
+            )
             res, mu = al_ilqr_solve(
                 fd, stage_cost, term_cost, constraint_fn, x0, us_init,
                 al_iters=self.al_iters, inner_iters=self.inner_iters, mu0=mu0,
+                stagewise=True,
             )
             return res.us, res.cost, mu
 
         return solve
+
+    def probabilistic_margins(self, x0, us):
+        """Public hook: (T, nc) per-row tightening margins for a candidate
+        input sequence (reference precompute_probabilistic_limits surface)."""
+        if self.gp_state is None or self._cc is None:
+            raise ValueError("learn() first / no constraints")
+        if not hasattr(self, "_margins_jit"):
+            self._margins_jit = jax.jit(self._build_margins_fn())
+        return self._margins_jit(jnp.asarray(x0, jnp.float32), jnp.asarray(us, jnp.float32))
+
+    def _build_margins_fn(self):
+        """(T, nc) horizon-propagated tightening margins along a candidate
+        rollout (reference precompute_probabilistic_limits, gp_mpc.py:286-358).
+
+        Residual covariance accumulates through the prior closed loop
+        Sigma_{k+1} = A_cl Sigma_k A_cl' + Sigma_gp(z_k) with Sigma_0 = 0
+        (x0 is measured), so the first node is untightened and margins grow
+        along the prediction horizon.  Per-row margins are assembled in the
+        STACKED block order of CompiledConstraints.get_values_raw (linear,
+        quadratic, symmetric) and permuted by ``row_order`` — writing linear
+        margins to output rows 0..nc_lin-1 silently tightens the wrong
+        constraints whenever quadratic/symmetric entries interleave.
+        Quadratic rows use the gradient at the solve point (|∇(x'Px)| =
+        |2Px|); symmetric rows use |F|."""
+        from safe_control_gym_tpu.ops.linalg import dlqr_gain
+
+        model = self.model
+        gp = self.gp_state
+        cc = self._cc
+        nx = model.nx
+        fd = lambda x, u: self._fd_gp(gp, x, u)
+        K_prior, _ = dlqr_gain(self._Ad, self._Bd, self.Q, self.R)
+        A_cl = self._Ad - self._Bd @ K_prior
+        row_order = jnp.asarray(cc.row_order)
+        abs_Ax = jnp.abs(jnp.asarray(cc.A_x, jnp.float32))
+
+        def gp_var_full(x, u):
+            z = jnp.concatenate([x, u])[self.input_mask][None]
+            _, var = gp_predict(gp, z)
+            return jnp.zeros(nx, x.dtype).at[self.target_mask].set(var[0])
+
+        def margins_from_std(std_x, x):
+            parts = [abs_Ax @ std_x]
+            for q in cc.quadratics:
+                if q.on_input:
+                    parts.append(jnp.zeros(1, std_x.dtype))
+                else:
+                    grad = 2.0 * jnp.asarray(q.P, std_x.dtype) @ x
+                    parts.append((jnp.abs(grad) @ std_x)[None])
+            for s in cc.symmetrics:
+                parts.append(jnp.abs(jnp.asarray(s.F, std_x.dtype)) @ std_x)
+            return jnp.concatenate(parts)[row_order] * self.z_score
+
+        def margins(x0, us):
+            def roll(x, u):
+                return fd(x, u), x
+
+            _, xs = jax.lax.scan(roll, x0, us)
+            vars_ = jax.vmap(gp_var_full)(xs, us)
+
+            def cov_step(S, v):
+                std = jnp.sqrt(jnp.clip(jnp.diag(S), 0.0))
+                return A_cl @ S @ A_cl.T + jnp.diag(v), std
+
+            _, stds = jax.lax.scan(cov_step, jnp.zeros((nx, nx), jnp.float32), vars_)
+            return jax.vmap(margins_from_std)(stds, xs)
+
+        return margins
 
     def select_action(self, obs, info=None):
         if self.gp_state is None:

@@ -156,6 +156,7 @@ def al_ilqr_solve(
     rho_init: float = 50.0,
     rho_factor: float = 10.0,
     mu0: Optional[jnp.ndarray] = None,
+    stagewise: bool = False,
 ):
     """Augmented-Lagrangian iLQR for inequality-constrained MPC.
 
@@ -164,13 +165,18 @@ def al_ilqr_solve(
     warm-starts the multipliers (an MPC shifts the previous solve's
     multipliers, like it shifts the input trajectory).
 
+    With ``stagewise=True`` the constraint takes (x, u, k) — for
+    stage-dependent bounds such as GP-MPC's horizon-propagated probabilistic
+    tightening (reference gp_mpc.py:286-358 tightens each node differently).
+
     Returns (ILQRResult, mu_final).
     """
     if constraint_fn is None:
         res = ilqr_solve(fd, stage_cost, term_cost, x0, us_init, iters=al_iters * inner_iters)
         return res, None
 
-    nc = constraint_fn(x0, us_init[0]).shape[0]
+    cfn = constraint_fn if stagewise else (lambda x, u, k: constraint_fn(x, u))
+    nc = cfn(x0, us_init[0], 0).shape[0]
     T = us_init.shape[0]
     if mu0 is None:
         mu0 = jnp.zeros((T, nc), x0.dtype)
@@ -179,14 +185,14 @@ def al_ilqr_solve(
         us, mu, rho = carry
 
         def stage_aug(x, u, k):
-            c = constraint_fn(x, u)
+            c = cfn(x, u, k)
             m = mu[k]
             viol = jnp.maximum(0.0, m / rho + c)
             pen = 0.5 * rho * jnp.sum(viol**2) - jnp.sum(m**2) / (2 * rho)
             return stage_cost(x, u, k) + pen
 
         res = ilqr_solve(fd, stage_aug, term_cost, x0, us, iters=inner_iters)
-        c_traj = jax.vmap(constraint_fn)(res.xs[:-1], res.us)
+        c_traj = jax.vmap(cfn)(res.xs[:-1], res.us, jnp.arange(T))
         mu_n = jnp.maximum(0.0, mu + rho * c_traj)
         return (res.us, mu_n, rho * rho_factor), res
 
