@@ -45,7 +45,7 @@ class Controller:
     """
 
     def __init__(self, initial_obs, initial_info, use_firmware: bool = True,
-                 use_mpcc: bool = False, verbose: bool = False,
+                 use_mpcc: bool = True, verbose: bool = False,
                  forced_conservative: bool = True):
         self.CTRL_FREQ = initial_info["ctrl_freq"]
         self.CTRL_TIMESTEP = initial_info["ctrl_timestep"]

@@ -56,7 +56,7 @@ def run(
     level_config: dict,
     num_episodes: int = 1,
     use_firmware: bool = True,
-    use_mpcc: bool = False,
+    use_mpcc: bool = True,
     firmware_freq: int = 500,
     ctrl_freq: int = 25,
     verbose: bool = False,

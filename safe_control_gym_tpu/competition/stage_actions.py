@@ -185,11 +185,13 @@ class StageActionMPCC(StageAction):
     progress runs on); ~0.2 s of look-ahead gives it a real error to chase."""
 
     def __init__(self, ctrl_freq, mpcc, duration=None, lead=5,
-                 gate_centers=None, gate_slow_scale=0.45, gate_slow_radius=0.9):
+                 gate_centers=None, gate_slow_scale=0.45, gate_slow_radius=0.9,
+                 floor_rate=0.35, max_ahead=0.45):
         self.ctrl_freq = ctrl_freq
         self.mpcc = mpcc
         self.theta = 0.0
         self.theta_dot = 0.0
+        self.theta_cmd = 0.0
         self.duration = duration
         self.lead = lead
         # Same smooth Gaussian gate-proximity slowdown as the spline stage:
@@ -198,10 +200,22 @@ class StageActionMPCC(StageAction):
         self.gate_centers = gate_centers or []
         self.gate_slow_scale = gate_slow_scale
         self.gate_slow_radius = gate_slow_radius
+        # Commanded-progress integrator bounds: the setpoint always advances
+        # at >= floor_rate (plan-time units/s) but never runs more than
+        # max_ahead ahead of the re-anchored (true) progress.  Without the
+        # floor the loop deadlocks: theta_dot collapses near a gate, the
+        # commanded point lands millimeters from the drone, the
+        # position-dominant Mellinger holds, the re-anchor then pins theta to
+        # the unmoving drone — observed as the level2 "conservative stall"
+        # (0 gates).  Without the cap the command runs away when the tracker
+        # truly cannot follow (the round-1 vertical-runaway failure).
+        self.floor_rate = floor_rate
+        self.max_ahead = max_ahead
 
     def reset(self):
         self.theta = 0.0
         self.theta_dot = 0.0
+        self.theta_cmd = 0.0
         self.mpcc.reset()
 
     def run(self, global_it, stage_it, pos, vel, rpy, pqr, corrections=None):
@@ -226,11 +240,21 @@ class StageActionMPCC(StageAction):
             dmin = min(np.linalg.norm(ref_p - g) for g in self.gate_centers)
             w = np.exp(-0.5 * (dmin / max(self.gate_slow_radius, 1e-6)) ** 2)
             slow = 1.0 + (self.gate_slow_scale - 1.0) * w
-        theta_cmd = min(
-            self.theta + self.lead / self.ctrl_freq * max(self.theta_dot * slow, 0.3),
+        # Persistent command-progress: MPCC sets the pace (theta_dot), the
+        # floor guarantees motion, the cap keeps the setpoint tethered to the
+        # drone's actual progress.
+        rate = max(self.theta_dot * slow, self.floor_rate)
+        self.theta_cmd = max(self.theta_cmd, self.theta)
+        self.theta_cmd = min(
+            self.theta_cmd + rate / self.ctrl_freq,
+            self.theta + self.max_ahead,
             self.mpcc.theta_max,
         )
-        p, v = self.mpcc.reference_at(theta_cmd, self.theta_dot * slow)
+        theta_lead = min(
+            self.theta_cmd + self.lead / self.ctrl_freq * rate,
+            self.mpcc.theta_max,
+        )
+        p, v = self.mpcc.reference_at(theta_lead, rate)
         p = p + _gate_correction_offset(p, corrections)
         # Velocity feedforward bounded to what the tracker can realize.
         speed = float(np.linalg.norm(v))

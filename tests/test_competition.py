@@ -153,14 +153,49 @@ def test_level0_firmware_mpcc_completes_course():
 
 def test_level2_firmware_all_gates_no_collision():
     """Full level2 through the 500 Hz firmware loop with STOCK Mellinger
-    gains: all 4 gates, zero collisions (VERDICT r1 asked for more than the
-    steps>60 smoke above).  The noise channels (+-0.1 N uniform force,
-    thrust white noise) and randomized gate poses are active; the tuned
-    conservative speed profile sheds cross-track error before each
-    aperture."""
+    gains on the SPLINE stage: all 4 gates, zero collisions.  The noise
+    channels (+-0.1 N uniform force, thrust white noise) and randomized gate
+    poses are active; the tuned conservative speed profile sheds cross-track
+    error before each aperture."""
     from safe_control_gym_tpu.competition.getting_started import run
 
     level = dict(_load_level(2))
+    level["seed"] = 0
+    eps = run(level, num_episodes=1, use_firmware=True, use_mpcc=False,
+              ctrl_freq=25)
+    assert eps[0]["collisions"] == 0, eps
+    assert eps[0]["gates_passed"] == 4, eps
+
+
+def test_level2_firmware_mpcc_races_default_path():
+    """Level2 with the DEFAULT stack — MPCC racing stage (use_mpcc defaults
+    True, matching the reference where MPCC IS the racing controller,
+    edit_this.py:116-138): all 4 gates, zero collisions, and strictly better
+    than the spline stage (course completion bonus earned, ~300 fewer steps;
+    the spline run above needs the full 825-step episode)."""
+    from safe_control_gym_tpu.competition.controller import Controller
+    from safe_control_gym_tpu.competition.getting_started import run
+
+    import inspect
+
+    assert inspect.signature(Controller.__init__).parameters["use_mpcc"].default is True
+
+    level = dict(_load_level(2))
+    level["seed"] = 0
+    eps = run(level, num_episodes=1, use_firmware=True, ctrl_freq=25)
+    assert eps[0]["collisions"] == 0, eps
+    assert eps[0]["gates_passed"] == 4, eps
+    assert eps[0]["reward"] >= 300, eps   # spline scores 0 on this seed
+    assert eps[0]["steps"] < 650, eps     # racing, not crawling
+
+
+def test_level3_firmware_mpcc_completes():
+    """Level3 (gates/obstacles re-randomized BETWEEN episodes,
+    reseed_on_reset False) raced end-to-end with the default MPCC stack on a
+    pinned seed: course completion through the 500 Hz firmware loop."""
+    from safe_control_gym_tpu.competition.getting_started import run
+
+    level = dict(_load_level(3))
     level["seed"] = 0
     eps = run(level, num_episodes=1, use_firmware=True, ctrl_freq=25)
     assert eps[0]["collisions"] == 0, eps
