@@ -10,12 +10,15 @@ in-kernel PRNG, and episode statistics — runs as one `lax.fori_loop` inside
 one Pallas program, with all state resident in VMEM for the whole call.
 
 Scope (checked by ``supports``): 3D quadrotor, `pyb`/`dyn` physics without
-aero modes, rl_reward cost, stabilization or figure8/circle trajectory
-tracking (the reference generators are closed-form — benchmark.py:124-139 —
-so the kernel evaluates them analytically instead of gathering from a
-table), box out-of-bound done, optional impulse dynamics disturbance,
-default-constraint violation counting.  Everything else uses the general
-engine.
+aero modes, rl_reward or quadratic (LQ) cost, stabilization or
+figure8/circle/square trajectory tracking (the reference generators are
+closed-form — benchmark.py:124-170, incl. the piecewise-linear square — so
+the kernel evaluates them analytically instead of gathering from a table),
+box out-of-bound done, goal-capture done (stabilization + quadratic),
+optional impulse dynamics disturbance, observation white noise (applied to
+the policy input in fast_policy.py; a constant-action rollout's states are
+unaffected by construction), default-constraint violation counting.
+Everything else uses the general engine.
 
 Randomization semantics match the general engine's *distributions*
 (uniform-additive init state / inertia, uniform impulse offsets) but draw
@@ -96,6 +99,16 @@ def supports(cfg, allow_normalized: bool = False, allow_maze: bool = False) -> b
         and _scalar(act_d[0].get("std", 1.0))
         and "mask" not in act_d[0]
     )
+    # Observation white noise: one extra in-kernel draw feeding the policy
+    # input (fast_policy.py); the constant-action engine's state trajectory
+    # is unaffected by construction (obs is never consumed).
+    obs_d = dist.get("observation")
+    obs_dist_ok = not obs_d or (
+        len(obs_d) == 1
+        and obs_d[0].get("disturbance_func") == "white_noise"
+        and _scalar(obs_d[0].get("std", 1.0))
+        and "mask" not in obs_d[0]
+    )
     # The kernel applies ONE action weight to all four motors; a per-motor
     # weight vector must fall back unless it is uniform.
     act_w = np.asarray(
@@ -106,14 +119,14 @@ def supports(cfg, allow_normalized: bool = False, allow_maze: bool = False) -> b
         act_w_ok
         and int(cfg.quad_type) == QuadType.THREE_D
         and cfg.physics in ("pyb", "dyn")
-        and (cfg.cost == "rl_reward"
+        and (cfg.cost in ("rl_reward", "quadratic")
              or (allow_maze and cfg.cost == "competition"))
         and (allow_normalized or not cfg.normalized_rl_action_space)
         and (cfg.task == "stabilization"
              or (cfg.task == "traj_tracking"
-                 and ti.get("trajectory_type") in ("figure8", "circle")))
+                 and ti.get("trajectory_type") in ("figure8", "circle", "square")))
         and int(cfg.obs_goal_horizon) == 0
-        and not dist.get("observation")
+        and obs_dist_ok
         and act_dist_ok
         and (impulse_ok or uniform_ok)
         and cfg.adversary_disturbance is None
@@ -196,6 +209,12 @@ def step_env_core(p, carry, thrust_rows, it, draw):
         prev_viol = carry[mz + 3]
 
     act_cost = sum((t - p["u_goal"]) ** 2 for t in thrust_rows) * p["rew_act_w"]
+    # Quadratic cost's input term: 0.5 * du' R du with diagonal R, on the
+    # PRE-noise preprocessed thrusts (quadrotor.py:921 act_err semantics).
+    quad_act = sum(
+        0.5 * p["r_weight"][i] * (t - p["u_goal"]) ** 2
+        for i, t in enumerate(thrust_rows)
+    ) if p["cost"] == "quad" else None
 
     # -- action white noise (level2.yaml action disturbance) ----------------
     if p["act_noise_std"] > 0.0:
@@ -255,15 +274,35 @@ def step_env_core(p, carry, thrust_rows, it, draw):
     else:
         t = step_f * p["ctrl_dt"]
         w = p["traj_w"]
-        sw, cw = jnp.sin(w * t), jnp.cos(w * t)
         sc = p["traj_scale"]
         if p["traj_type"] == "figure8":
+            sw, cw = jnp.sin(w * t), jnp.cos(w * t)
             a_p, b_p = sc * sw, sc * sw * cw
             a_v, b_v = sc * w * cw, sc * w * (cw * cw - sw * sw)
-        else:  # circle
+        elif p["traj_type"] == "circle":
+            sw, cw = jnp.sin(w * t), jnp.cos(w * t)
             a_p, b_p = sc * cw, sc * sw
             a_v, b_v = -sc * w * sw, sc * w * cw
-        zero = jnp.zeros_like(sw)
+        else:  # square: piecewise-linear perimeter (benchmark_env.py:625-674)
+            period = p["traj_period"]
+            seg_period = period / 4.0
+            speed = sc / seg_period
+            cyc = t - period * jnp.floor(t / period)
+            seg = jnp.floor(cyc / seg_period)  # 0..3 float tile
+            seg_pos = speed * (cyc - seg * seg_period)
+            is0, is1 = seg < 0.5, jnp.abs(seg - 1.0) < 0.5
+            is2 = jnp.abs(seg - 2.0) < 0.5
+            zt = jnp.zeros_like(t)
+            # Segments: up, left, down, right.
+            a_p = jnp.where(is0, zt, jnp.where(is1, -seg_pos,
+                  jnp.where(is2, -sc + zt, -sc + seg_pos)))
+            b_p = jnp.where(is0, seg_pos, jnp.where(is1, sc + zt,
+                  jnp.where(is2, sc - seg_pos, zt)))
+            a_v = jnp.where(is0, zt, jnp.where(is1, -speed + zt,
+                  jnp.where(is2, zt, speed + zt)))
+            b_v = jnp.where(is0, speed + zt, jnp.where(is1, zt,
+                  jnp.where(is2, -speed + zt, zt)))
+        zero = jnp.zeros_like(t)
         p3 = [zero, zero, zero]
         v3 = [zero, zero, zero]
         ia, ib = p["plane_idx"]
@@ -355,6 +394,14 @@ def step_env_core(p, carry, thrust_rows, it, draw):
                + 100.0 * at_goal.astype(jnp.float32)
                - 1000.0 * collided.astype(jnp.float32)
                - 100.0 * prev_viol)
+    elif p["cost"] == "quad":
+        # LQ cost (quadrotor.py:927-930): -(0.5 dx'Q dx + 0.5 du'R du),
+        # diagonal Q/R.
+        dist = quad_act
+        for k in range(_NX):
+            e = s[k] - goal[k]
+            dist = dist + 0.5 * p["q_weight"][k] * e * e
+        rew = -dist
     else:
         dist = act_cost
         for k in range(_NX):
@@ -366,6 +413,14 @@ def step_env_core(p, carry, thrust_rows, it, draw):
     new_step = step_f + 1.0
     timeout = new_step >= p["max_steps"]
     done = oob_done
+    if p["cost"] == "quad" and p["task"] == "stab":
+        # Stabilization + quadratic terminates on goal capture
+        # (quadrotor.py:907-910): full-state 2-norm inside the tolerance.
+        d2 = zero_t
+        for k in range(_NX):
+            e = s[k] - goal[k]
+            d2 = d2 + e * e
+        done = done | (d2 < p["stab_tol"] ** 2)
     if p.get("maze"):
         if p["done_collision"]:
             done = done | collided
@@ -495,6 +550,10 @@ def build_engine_params(env, steps_per_call: int, interpret: bool,
     act_noise_std = (
         float(np.asarray(act_d[0].get("std", 1.0), float).ravel()[0]) if act_d else 0.0
     )
+    obs_d = (cfg.disturbances or {}).get("observation")
+    obs_noise_std = (
+        float(np.asarray(obs_d[0].get("std", 1.0), float).ravel()[0]) if obs_d else 0.0
+    )
     # Randomization bounds in fast-row order: mass, jx, jy, jz, x0..x11
     # (same affine form as the general engine's consolidated draw).
     inertial = Q._DEFAULT_INERTIAL_RAND if cfg.randomized_inertial_prop else {}
@@ -535,6 +594,7 @@ def build_engine_params(env, steps_per_call: int, interpret: bool,
         x_goal = tuple(float(v) for v in xg)
         plane_idx, plane_off = (0, 1), (0.0, 0.0)
         traj_type, traj_w, traj_scale = "none", 0.0, 0.0
+        period = 1.0
         proj = tuple(
             tuple(1.0 if r == c else 0.0 for c in range(4)) for r in range(3)
         )
@@ -579,7 +639,18 @@ def build_engine_params(env, steps_per_call: int, interpret: bool,
         impulse=impulse,
         task=task, x_goal=x_goal,
         traj_type=traj_type, traj_w=traj_w, traj_scale=traj_scale,
+        traj_period=float(period),
         plane_idx=plane_idx, plane_off=plane_off, proj=proj,
+        # Quadratic (LQ) cost weights: diagonal Q/R (quadrotor.py:517-518;
+        # None -> identity).
+        q_weight=tuple(np.broadcast_to(
+            np.asarray(1.0 if cfg.q_weight is None else cfg.q_weight, float).ravel(),
+            (12,)).tolist()),
+        r_weight=tuple(np.broadcast_to(
+            np.asarray(1.0 if cfg.r_weight is None else cfg.r_weight, float).ravel(),
+            (4,)).tolist()),
+        stab_tol=float(ti.get("stabilization_goal_tolerance", 0.0)),
+        obs_noise_std=obs_noise_std,
         rand_nominal=tuple(nominal), rand_lo=tuple(lo), rand_hi=tuple(hi),
         # Normalized RL action space (quadrotor.py:758-763): the policy
         # engine maps act in [-1, 1] to thrust in-kernel.
@@ -590,7 +661,7 @@ def build_engine_params(env, steps_per_call: int, interpret: bool,
         # dynamics force (level2.yaml:…disturbances).
         act_noise_std=act_noise_std,
         dyn_uniform=dyn_uniform,
-        cost="competition" if cfg.cost == "competition" else "rl",
+        cost={"competition": "competition", "quadratic": "quad"}.get(cfg.cost, "rl"),
         pyb_freq_f=float(cfg.pyb_freq),
     )
 

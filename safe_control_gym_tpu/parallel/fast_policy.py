@@ -101,6 +101,19 @@ def _policy_rollout_kernel(
         draw = make_draw(p, seed_ref, it)
         s_pre = carry[:_NX]
 
+        # -- observation white noise (quadrotor.py obs disturbance): the
+        # policy acts on — and the trajectory records — the NOISY obs, while
+        # the env state stays clean, matching the general engine's
+        # obs-channel semantics.
+        if p.get("obs_noise_std", 0.0) > 0.0:
+            un = draw(24, 11.0)
+            s_pre = tuple(
+                s_pre[k] + p["obs_noise_std"]
+                * jnp.sqrt(-2.0 * jnp.log(1.0 - un[k]))
+                * jnp.cos(2.0 * math.pi * un[12 + k])
+                for k in range(_NX)
+            )
+
         # -- policy + value forward -----------------------------------------
         mean, value = forward(s_pre)
 

@@ -189,6 +189,75 @@ def test_level2_firmware_mpcc_races_default_path():
     assert eps[0]["steps"] < 650, eps     # racing, not crawling
 
 
+def test_multi_episode_risk_flow_level2_reckless_level3_conservative():
+    """Four-episode risk-adviser flow end-to-end through getting_started.run
+    (reference getting_started.py:142-316 + risk_adviser.py:40-67):
+
+    * level2 (reseed_on_reset=True, static course) with the adviser live
+      (forced_conservative off): episodes 1-2 fly CONSERVATIVE, episode 3
+      goes RECKLESS and re-plans against the gate poses measured in episode
+      1, and the measured-plan flag disables double-applied corrections.
+    * level3 (reseed_on_reset=False, poses drift between episodes): the
+      drift detector keeps EVERY episode CONSERVATIVE.
+    """
+    from safe_control_gym_tpu.competition.controller import Controller
+    from safe_control_gym_tpu.competition.getting_started import run
+    from safe_control_gym_tpu.competition.risk import RiskProfile
+
+    advice_log = []
+    plan_measured_log = []
+
+    class AdviserController(Controller):
+        def __init__(self, obs, info, **kw):
+            kw["forced_conservative"] = False
+            super().__init__(obs, info, **kw)
+            adviser = self.risk_adviser
+            orig = adviser.episode_advice
+
+            def recording_advice():
+                profile, hint = orig()
+                advice_log.append((profile, len(hint)))
+                return profile, hint
+
+            adviser.episode_advice = recording_advice
+
+        def interEpisodeLearn(self, *a, **kw):
+            super().interEpisodeLearn(*a, **kw)
+            plan_measured_log.append(self._plan_is_measured)
+
+    level = dict(_load_level(2))
+    level["seed"] = 0
+    eps = run(level, num_episodes=4, use_firmware=True, ctrl_freq=25,
+              controller_cls=AdviserController)
+    # Course is static across episodes: every episode must complete.
+    for e in eps:
+        assert e["gates_passed"] == 4, eps
+        assert e["collisions"] == 0, eps
+    # Advice recorded at the END of episode k decides episode k+1:
+    # end-of-ep1 -> ep2 CONSERVATIVE, end-of-ep2 -> ep3 RECKLESS (static
+    # scene + measured poses), end-of-ep3 -> ep4 RECKLESS (ep3 completed).
+    assert advice_log[0][0] is RiskProfile.CONSERVATIVE
+    assert advice_log[1][0] is RiskProfile.RECKLESS and advice_log[1][1] == 4
+    assert advice_log[2][0] is RiskProfile.RECKLESS
+    # Episode 3 flies the measured re-plan (gate-correction reuse engaged).
+    assert plan_measured_log[1] is True, plan_measured_log
+    assert plan_measured_log[0] is False, plan_measured_log
+
+    advice_log.clear()
+    plan_measured_log.clear()
+    level3 = dict(_load_level(3))
+    level3["seed"] = 0
+    eps3 = run(level3, num_episodes=4, use_firmware=True, ctrl_freq=25,
+               controller_cls=AdviserController)
+    # Poses drift between episodes: the detector must keep every episode
+    # conservative (no replan from stale measurements).
+    for profile, _ in advice_log:
+        assert profile is RiskProfile.CONSERVATIVE, advice_log
+    assert not any(plan_measured_log), plan_measured_log
+    # The pinned-seed first episode still completes the course.
+    assert eps3[0]["gates_passed"] == 4, eps3
+
+
 def test_level3_firmware_mpcc_completes():
     """Level3 (gates/obstacles re-randomized BETWEEN episodes,
     reseed_on_reset False) raced end-to-end with the default MPCC stack on a

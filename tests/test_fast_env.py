@@ -40,11 +40,18 @@ def test_supports_envelope():
     assert supports(_cfg(task="stabilization",
                          task_info={"stabilization_goal": [0, 0, 1],
                                     "stabilization_goal_tolerance": 0.05}))
-    assert not supports(_cfg(quad_type=2))
-    assert not supports(_cfg(cost="quadratic"))
-    assert not supports(_cfg(gates=((0.5, -1.0, 0, 0, 0, 0, 0),)))
-    assert not supports(_cfg(disturbances={
+    # Round-3 envelope: square trajectory, quadratic cost, obs white noise
+    # (BASELINE config 4 variants).
+    sq = dict(_cfg().task_info)
+    sq["trajectory_type"] = "square"
+    assert supports(_cfg(task_info=sq))
+    assert supports(_cfg(cost="quadratic"))
+    assert supports(_cfg(disturbances={
         "observation": ({"disturbance_func": "white_noise", "std": 0.1},)}))
+    assert not supports(_cfg(disturbances={
+        "observation": ({"disturbance_func": "uniform", "low": -1, "high": 1},)}))
+    assert not supports(_cfg(quad_type=2))
+    assert not supports(_cfg(gates=((0.5, -1.0, 0, 0, 0, 0, 0),)))
 
 
 def test_dynamics_reward_match_general_engine():
@@ -172,6 +179,79 @@ def test_stabilization_fast_engine_runs():
         np.asarray(rows_out[18]).reshape(B), np.asarray(carry.stats.ep_return),
         rtol=2e-4,
     )
+
+
+def _match_reset_free(cfg, steps=12, z0=1.0):
+    """Run both engines from the same packed state; return (fast, general)
+    outputs for comparison."""
+    env = make_quadrotor(cfg)
+    vec = make_vec_env(env, B)
+    state, obs, _ = jax.jit(vec.reset)(jax.random.key(0))
+    x0 = np.zeros((B, 12), np.float32)
+    x0[:, 4] = z0
+    state = state.replace(x=jnp.asarray(x0))
+    hover = float(env.u_goal[0])
+    fr = FastQuadRollout(env, B, steps_per_call=steps, interpret=True)
+    rows_out = fr.run(fr.pack(state), np.full(4, hover), seed=0)
+    act = jnp.full((B, 4), hover, jnp.float32)
+    carry = RolloutCarry(state, jnp.asarray(x0), (), EpisodeStats.create(B))
+    carry, _ = jax.jit(
+        lambda c: rollout(vec, lambda ps, o: (act, ps), c, steps, collect=False)
+    )(carry)
+    return fr, rows_out, carry
+
+
+def test_square_trajectory_matches_general_engine():
+    """The in-kernel piecewise-linear square reference matches the general
+    engine's table exactly: same states AND same rewards across segment
+    boundaries (benchmark_env.py:625-674)."""
+    ti = {"trajectory_type": "square", "trajectory_plane": "xy",
+          "trajectory_position_offset": [0.0, 0.0], "trajectory_scale": 0.8,
+          "num_cycles": 2, "proj_point": [0, 0, 0.5], "proj_normal": [0, 1, 1]}
+    cfg = _cfg(task_info=ti, randomized_init=False, randomized_inertial_prop=False)
+    # 2 cycles over 6 s at 60 Hz: segment boundary every 45 steps; 100 steps
+    # cross two corners.
+    fr, rows_out, carry = _match_reset_free(cfg, steps=100)
+    np.testing.assert_allclose(
+        fr.states(rows_out), np.asarray(carry.env_state.x), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rows_out[18]).reshape(B), np.asarray(carry.stats.ep_return),
+        rtol=2e-4,
+    )
+
+
+def test_quadratic_cost_matches_general_engine():
+    """LQ reward (quadrotor.py:927-930) in-kernel: diagonal Q/R weights,
+    step-exact episode returns vs the general engine."""
+    cfg = _cfg(cost="quadratic", randomized_init=False,
+               randomized_inertial_prop=False,
+               q_weight=[2.0, 0.1, 2.0, 0.1, 5.0, 0.1, 1, 1, 1, 0.2, 0.2, 0.2],
+               r_weight=[0.5])
+    fr, rows_out, carry = _match_reset_free(cfg, steps=12)
+    np.testing.assert_allclose(
+        fr.states(rows_out), np.asarray(carry.env_state.x), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rows_out[18]).reshape(B), np.asarray(carry.stats.ep_return),
+        rtol=2e-4,
+    )
+
+
+def test_quadratic_stab_goal_capture_done():
+    """Stabilization + quadratic cost terminates on goal capture
+    (quadrotor.py:907-910): starting AT the goal, both engines finish an
+    episode on the first step."""
+    cfg = _cfg(task="stabilization", cost="quadratic",
+               task_info={"stabilization_goal": [0, 0, 1],
+                          "stabilization_goal_tolerance": 0.05},
+               randomized_init=False, randomized_inertial_prop=False)
+    fr, rows_out, carry = _match_reset_free(cfg, steps=3, z0=1.0)
+    # done_count row: every env terminated at least once via goal capture.
+    done_fast = np.asarray(rows_out[21]).reshape(B)
+    gen = {k: float(v) for k, v in jax.device_get(carry.stats.means()).items()}
+    assert done_fast.min() >= 1, done_fast
+    assert gen["episodes"] >= B
 
 
 def test_supports_rejects_out_of_envelope_extras():

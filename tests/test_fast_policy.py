@@ -114,3 +114,38 @@ def test_ppo_fast_rollout_trains():
     assert int(jax.device_get(s.total_steps)) == 2 * B * T
     for k in ("policy_loss", "value_loss", "approx_kl"):
         assert np.isfinite(float(jax.device_get(m[k]))), k
+
+
+def test_obs_noise_feeds_policy_and_record():
+    """Observation white noise (round-3 envelope): the recorded obs are the
+    NOISY channel the policy acted on — they differ from the clean state by
+    ~N(0, std) — while the env state itself stays clean, and the in-kernel
+    value/logp match the XLA forward on the recorded (noisy) obs."""
+    env = make_quadrotor(QuadrotorConfig(
+        quad_type=3, ctrl_freq=60, pyb_freq=240, episode_len_sec=2,
+        task="traj_tracking",
+        task_info={"trajectory_type": "figure8", "trajectory_plane": "xy",
+                   "trajectory_position_offset": [0, 0], "trajectory_scale": 1.0,
+                   "num_cycles": 1, "proj_point": [0, 0, 0.5], "proj_normal": [0, 1, 1]},
+        cost="rl_reward", normalized_rl_action_space=True,
+        disturbances={"observation": (
+            {"disturbance_func": "white_noise", "std": 0.05},)},
+    ))
+    fp = FastPolicyRollout(env, B, 2, interpret=True)
+    ppo = PPO(env, seed=0, rollout_batch_size=B, rollout_steps=2)
+    w = fp.pack_weights(ppo.state.ac.actor_params, ppo.state.ac.critic_params,
+                        ppo.state.ac.logstd)
+    rows = fp.reset(0)
+    clean0 = fp.states(rows)
+    new_rows, traj = fp.run(rows, w, seed=3)
+    d = fp.unpack_traj(traj)
+    noise = np.asarray(d["obs"][0]) - clean0
+    # Noise is present on every channel and roughly the configured std.
+    assert np.abs(noise).max() > 1e-4
+    assert 0.01 < noise.std() < 0.12, noise.std()
+    # Value/logp were computed on the recorded noisy obs.
+    np.testing.assert_allclose(
+        np.asarray(d["v"][0]),
+        np.asarray(ppo._value(ppo.state.ac, jnp.asarray(d["obs"][0]))),
+        rtol=2e-4, atol=2e-4,
+    )
