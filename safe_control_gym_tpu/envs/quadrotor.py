@@ -209,6 +209,11 @@ class QuadState(struct.PyTreeNode):
     key: jnp.ndarray
     ctrl_step: jnp.ndarray
     pyb_step: jnp.ndarray
+    # Counter-based reset stream identity (ops/ctr_prng.py): reset draws are
+    # pure functions of (env_seed, episode_idx, slot), shared bit-exactly
+    # with the whole-rollout Pallas engine.
+    env_seed: jnp.ndarray  # int32, 24-bit
+    episode_idx: jnp.ndarray  # int32
     # Per-episode randomized physics (quadrotor.py:454-475).
     mass: jnp.ndarray
     j_diag: jnp.ndarray  # (3,)
@@ -640,12 +645,26 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
         dtype,
     )
 
-    def reset(key):
-        ks = jax.random.split(key, 8)
-        k_gates, k_obst, k_inertial, k_init, k_do, k_da, k_dd, carry = ks
+    def _reset_core(env_seed, episode_idx, noise_key, obs_key):
+        """Counter-based reset draws (ops/ctr_prng.py): every randomization
+        channel is a pure function of (env_seed, episode_idx, slot), shared
+        bit-exactly with the whole-rollout Pallas engine's in-kernel
+        auto-reset (fast_env.step_env_core).  Slot layout: 0..3 inertia,
+        4..4+nx-1 init state, 4+nx impulse offset, then 3 per gate
+        (x, y, yaw) and 2 per obstacle (x, y).
+
+        ``noise_key`` seeds the carried step-noise stream (disturbance /
+        observation noise — engine-specific by design); ``obs_key`` the
+        reset observation's noise draw."""
+        from safe_control_gym_tpu.ops import ctr_prng
+
+        n_slots = 4 + nx + 1 + 3 * NG + 2 * NO
+        base = ctr_prng.episode_base(env_seed, episode_idx)
+        u_all = ctr_prng.uniform_slots(base, n_slots).astype(dtype)
+        k_do, k_da, k_dd = (jax.random.fold_in(noise_key, i) for i in (11, 12, 13))
         # Inertial + initial-state randomization (additive uniform,
         # quadrotor.py:454-493) in one fused draw.
-        u = jax.random.uniform(k_inertial, (4 + nx,), dtype)
+        u = u_all[: 4 + nx]
         drawn = _nominal_rand + _rand_lo + u * (_rand_hi - _rand_lo)
         mass = drawn[0]
         j_diag = drawn[1:4]
@@ -658,28 +677,39 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
         if cfg.randomized_gates_and_obstacles:
             gi = go_rand.get("gates", {"low": -0.15, "high": 0.15})
             oi = go_rand.get("obstacles", {"low": -0.15, "high": 0.15})
+            m0 = 4 + nx + 1
             if NG:
-                kg = jax.random.split(k_gates, 2)
-                g_xy = g_xy + jax.random.uniform(
-                    kg[0], (NG, 2), dtype, float(gi["low"]), float(gi["high"])
-                )
-                g_yaw = g_yaw + jax.random.uniform(
-                    kg[1], (NG,), dtype, float(gi["low"]), float(gi["high"])
-                )
+                ug = u_all[m0:m0 + 3 * NG].reshape(NG, 3)
+                glo, ghi = float(gi["low"]), float(gi["high"])
+                g_xy = g_xy + glo + ug[:, :2] * (ghi - glo)
+                g_yaw = g_yaw + glo + ug[:, 2] * (ghi - glo)
             if NO:
-                o_xy = o_xy + jax.random.uniform(
-                    k_obst, (NO, 2), dtype, float(oi["low"]), float(oi["high"])
-                )
+                uo = u_all[m0 + 3 * NG:m0 + 3 * NG + 2 * NO].reshape(NO, 2)
+                olo, ohi = float(oi["low"]), float(oi["high"])
+                o_xy = o_xy + olo + uo * (ohi - olo)
         gates_eff = jnp.concatenate([g_xy, g_yaw[:, None], g_h[:, None]], -1)
         sched = {
             m: (p.init(k) if p is not None else jnp.zeros((0,), jnp.int32))
             for (m, p), k in zip(dist_progs.items(), [k_do, k_da, k_dd])
         }
+        # Impulse step offsets come from the shared counter stream (slot
+        # 4+nx), overriding the keyed randint: floor(u * max_steps), the
+        # same formula the kernel applies on in-kernel resets.
+        dyn_sched = sched.get("dynamics")
+        if isinstance(dyn_sched, dict) and dyn_sched.get("offsets") is not None \
+                and np.prod(dyn_sched["offsets"].shape) == 1:
+            dyn_sched = dict(dyn_sched)
+            dyn_sched["offsets"] = jnp.floor(
+                u_all[4 + nx] * max_steps
+            ).astype(jnp.int32).reshape(dyn_sched["offsets"].shape)
+            sched["dynamics"] = dyn_sched
         state = QuadState(
             x=x0,
-            key=carry,
+            key=noise_key,
             ctrl_step=jnp.zeros((), jnp.int32),
             pyb_step=jnp.zeros((), jnp.int32),
+            env_seed=env_seed,
+            episode_idx=jnp.asarray(episode_idx, jnp.int32),
             mass=mass,
             j_diag=j_diag,
             dist_sched=sched,
@@ -695,11 +725,30 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
             steps_at_goal=jnp.zeros((), jnp.int32),
             task_completed=jnp.zeros((), bool),
         )
-        obs = _obs(state, jax.random.fold_in(carry, jnp.int32(-1)))
+        obs = _obs(state, obs_key)
         info = {}
         if constraints is not None:
             info["constraint_values_state"] = constraints.get_state_values(state.x)
         return state, obs, info
+
+    def reset(key):
+        from safe_control_gym_tpu.ops import ctr_prng
+
+        env_seed = ctr_prng.env_seed_from_key(key)
+        noise_key = jax.random.fold_in(key, 7919)
+        return _reset_core(
+            env_seed, jnp.zeros((), jnp.int32), noise_key,
+            jax.random.fold_in(noise_key, jnp.int32(-1)),
+        )
+
+    def reset_episode(state: QuadState, noise_key):
+        """Fresh episode for an auto-resetting env: same env identity, next
+        episode index — the masked-reset path (vector.py) and the in-kernel
+        path (fast_env) draw identical randomization from this counter."""
+        return _reset_core(
+            state.env_seed, state.episode_idx + 1, noise_key,
+            jax.random.fold_in(noise_key, jnp.int32(-1)),
+        )
 
     def set_adversary_control(state: QuadState, adv_action):
         """Functional analogue of env.set_adversary_control (benchmark_env.py:256-266)."""
@@ -1014,7 +1063,10 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
         pyb_freq=cfg.pyb_freq,
         episode_len_sec=cfg.episode_len_sec,
         # Adversary channel setter (RARL/RAP; benchmark_env.py:256-266).
-        extras={"set_adversary_control": set_adversary_control},
+        extras={"set_adversary_control": set_adversary_control,
+                # Counter-based per-episode reset (ops/ctr_prng.py) used by
+                # the vectorized auto-reset path.
+                "reset_episode": reset_episode},
     )
 
 

@@ -20,12 +20,13 @@ the policy input in fast_policy.py; a constant-action rollout's states are
 unaffected by construction), default-constraint violation counting.
 Everything else uses the general engine.
 
-Randomization semantics match the general engine's *distributions*
-(uniform-additive init state / inertia, uniform impulse offsets) but draw
-from the TPU core PRNG, so trajectories are reproducible per seed within
-this engine, not bitwise-equal to the general engine's threefry stream.
-Step *dynamics* are validated exactly against the general engine
-(tests/test_fast_env.py).
+Reset randomization draws from the counter-based stream BOTH engines share
+(ops/ctr_prng.py): every draw is a pure function of (env_seed, episode_idx,
+slot), so in-kernel auto-resets replay the general engine's exact reset
+values and fast-vs-general trajectories are comparable across episode
+boundaries, not just on reset-free segments (tests/test_fast_env.py pins
+this).  Step-noise channels (action/dynamics/observation white noise) remain
+engine-specific streams with matching distributions.
 """
 
 from __future__ import annotations
@@ -48,7 +49,9 @@ _R_J = 13  # 13,14,15
 _R_STEP = 16
 _R_OFFSET = 17
 _R_STATS = 18  # ep_ret, ep_len, ep_viol, done_cnt, sum_ret, sum_len, sum_viol
-_NROWS = 25
+_R_SEED = 25  # 24-bit env seed (ops/ctr_prng.py), exact in f32
+_R_EP = 26  # episode index (f32 counter)
+_NROWS = 27
 
 _STATS_KEYS = ("ep_return", "ep_length", "ep_violations", "done_count",
                "sum_return", "sum_length", "sum_violations")
@@ -446,7 +449,21 @@ def step_env_core(p, carry, thrust_rows, it, draw):
 
     # -- masked auto-reset --------------------------------------------------
     n_draw = 17 + (3 * NG + 2 * NO if p.get("maze") else 0)
-    u = draw(n_draw, 3.0)
+    if p.get("unified_prng", True):
+        # Counter-based draws shared bit-exactly with the general engine
+        # (ops/ctr_prng.py): pure function of (env_seed, episode_idx+1,
+        # slot).  Slot layout matches quadrotor._reset_core (0..3 inertia,
+        # 4..15 init state, 16 impulse offset, then gates/obstacles); this
+        # kernel's u[] indexing predates it, so remap.
+        from safe_control_gym_tpu.ops import ctr_prng
+
+        es = carry[_R_SEED].astype(jnp.int32)
+        ep_next = carry[_R_EP].astype(jnp.int32) + 1
+        base = ctr_prng.episode_base(es, ep_next)
+        slot_map = list(range(4, 16)) + [0, 1, 2, 3, 16] + list(range(17, n_draw))
+        u = [ctr_prng.slot_uniform(base, slot_map[k]) for k in range(n_draw)]
+    else:
+        u = draw(n_draw, 3.0)
     nm, lo_v, hi_v = p["rand_nominal"], p["rand_lo"], p["rand_hi"]
     new_x = []
     for k in range(_NX):
@@ -459,7 +476,9 @@ def step_env_core(p, carry, thrust_rows, it, draw):
     )
     new_off = jnp.where(done, jnp.floor(u[16] * p["max_steps"]), offset)
     new_step = jnp.where(done, 0.0, new_step)
-    out = tuple(new_x) + (new_mass,) + new_j + (new_step, new_off) + new_stats
+    new_ep = jnp.where(done, carry[_R_EP] + 1.0, carry[_R_EP])
+    out = (tuple(new_x) + (new_mass,) + new_j + (new_step, new_off)
+           + new_stats + (carry[_R_SEED], new_ep))
 
     if p.get("maze"):
         # Per-episode gate/obstacle pose redraw (quadrotor.py:370-434).
@@ -663,6 +682,11 @@ def build_engine_params(env, steps_per_call: int, interpret: bool,
         dyn_uniform=dyn_uniform,
         cost={"competition": "competition", "quadratic": "quad"}.get(cfg.cost, "rl"),
         pyb_freq_f=float(cfg.pyb_freq),
+        # Counter-based reset stream shared with the general engine
+        # (ops/ctr_prng.py): in-kernel auto-resets replay the exact draws
+        # quadrotor._reset_core makes, so fast-vs-general trajectories are
+        # bitwise comparable across episode boundaries.
+        unified_prng=True,
     )
 
     # -- competition maze (BASELINE config 5; quadrotor.py:1029-1133) -------
@@ -717,42 +741,58 @@ def total_rows(p) -> int:
 
 
 def reset_rows(p, B, sub, lanes, seed: int = 0):
-    """Fresh packed state rows (host-side): same affine draws as the general
-    engine, incl. per-env gate/obstacle poses for the maze family
-    (quadrotor.py:370-493)."""
+    """Fresh packed state rows mirroring ``vec.reset(jax.random.key(seed))``
+    BIT-EXACTLY: per-env seeds from the same threefry key splits, reset
+    draws from the shared counter stream (ops/ctr_prng.py) at episode 0 —
+    so a fast-engine rollout and a general-engine rollout from the same
+    seed start from identical states (and stay identical through in-kernel
+    auto-resets)."""
+    from safe_control_gym_tpu.ops import ctr_prng
+
     def tile(a):
         return np.asarray(a, np.float32).T.reshape(-1, sub, lanes)
 
-    rng = np.random.default_rng(seed)
-    nm = np.asarray(p["rand_nominal"])
-    lo = np.asarray(p["rand_lo"])
-    hi = np.asarray(p["rand_hi"])
-    u = rng.random((B, 16), dtype=np.float32)
-    drawn = nm + lo + u * (hi - lo)  # (B, 16): mass, j3, x12
+    NG, NO = p.get("n_gates", 0), p.get("n_obstacles", 0)
+    # f32 arithmetic throughout to match the general engine's dtype exactly.
+    nm = np.asarray(p["rand_nominal"], np.float32)
+    lo = np.asarray(p["rand_lo"], np.float32)
+    hi = np.asarray(p["rand_hi"], np.float32)
+    keys = jax.random.split(jax.random.key(seed), B)
+    es = jax.vmap(ctr_prng.env_seed_from_key)(keys)  # (B,) int32
+    n_slots = 17 + 3 * NG + 2 * NO
+    base = ctr_prng.episode_base(es, jnp.zeros_like(es))
+    u_all = np.asarray(
+        jax.vmap(lambda b: ctr_prng.uniform_slots(b, n_slots))(base),
+        np.float32,
+    )  # (B, n_slots)
+    drawn = nm + lo + u_all[:, :16] * (hi - lo)  # (B, 16): mass, j3, x12
     rows = np.zeros((total_rows(p), sub, lanes), np.float32)
     rows[:_NX] = tile(drawn[:, 4:])
     rows[_R_MASS] = tile(drawn[:, :1])[0]
     rows[_R_J:_R_J + 3] = tile(drawn[:, 1:4])
     rows[_R_OFFSET] = tile(
-        np.floor(rng.random((B, 1)) * p["max_steps"]).astype(np.float32)
+        np.floor(u_all[:, 16:17] * p["max_steps"]).astype(np.float32)
     )[0]
+    rows[_R_SEED] = tile(np.asarray(es, np.float32)[:, None])[0]
     if p.get("maze"):
-        NG, NO = p["n_gates"], p["n_obstacles"]
-        glo, ghi = p["gate_rand"]
-        olo, ohi = p["obst_rand"]
+        glo, ghi = (np.float32(v) for v in p["gate_rand"])
+        olo, ohi = (np.float32(v) for v in p["obst_rand"])
         m0 = _NROWS
         for g in range(NG):
             nx0, ny0, nyaw, nh = p["gates_nom"][g]
             for j, nv in enumerate((nx0, ny0, nyaw)):
                 rows[m0 + 4 * g + j] = tile(
-                    (nv + rng.uniform(glo, ghi, (B, 1))).astype(np.float32)
+                    np.float32(nv) + glo
+                    + u_all[:, 17 + 3 * g + j:18 + 3 * g + j] * (ghi - glo)
                 )[0]
             rows[m0 + 4 * g + 3] = nh
         for o in range(NO):
             nx0, ny0 = p["obstacles_nom"][o]
             for j, nv in enumerate((nx0, ny0)):
                 rows[m0 + 4 * NG + 2 * o + j] = tile(
-                    (nv + rng.uniform(olo, ohi, (B, 1))).astype(np.float32)
+                    np.float32(nv) + olo
+                    + u_all[:, 17 + 3 * NG + 2 * o + j:18 + 3 * NG + 2 * o + j]
+                    * (ohi - olo)
                 )[0]
     return jnp.asarray(rows)
 
@@ -818,6 +858,10 @@ class FastQuadRollout:
             rows[_R_OFFSET] = self._tile(
                 np.asarray(sched["offsets"], np.float32)
             )[0]
+        rows[_R_SEED] = self._tile(
+            np.asarray(env_states.env_seed, np.float32)[:, None])[0]
+        rows[_R_EP] = self._tile(
+            np.asarray(env_states.episode_idx, np.float32)[:, None])[0]
         p = self.params
         if p.get("maze"):
             NG, NO = p["n_gates"], p["n_obstacles"]

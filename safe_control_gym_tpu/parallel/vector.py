@@ -63,14 +63,23 @@ def make_vec_env(env, num_envs: int, auto_reset: bool = True) -> VecEnv:
     def step_no_reset(state, actions):
         return vstep(state, actions)
 
+    reset_episode = (getattr(env, "extras", None) or {}).get("reset_episode")
+    vreset_ep = jax.vmap(reset_episode) if reset_episode is not None else None
+
     def step(state, actions):
         new_state, obs, rew, done, info = vstep(state, actions)
-        # Fresh episodes for done envs, derived from each env's own key —
-        # independent of batch layout.  Computed unconditionally and masked
-        # in: a lax.cond gate on any(done) measured *slower* on TPU (branch
-        # + operand-copy overhead exceeds the masked reset's fused cost).
+        # Fresh episodes for done envs — independent of batch layout.
+        # Computed unconditionally and masked in: a lax.cond gate on
+        # any(done) measured *slower* on TPU (branch + operand-copy overhead
+        # exceeds the masked reset's fused cost).
         reset_keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(new_state.key)
-        r_state, r_obs, _ = vreset(reset_keys)
+        if vreset_ep is not None:
+            # Counter-based draws shared bit-exactly with the whole-rollout
+            # Pallas engine (ops/ctr_prng.py); the key only seeds the
+            # engine-specific step-noise stream.
+            r_state, r_obs, _ = vreset_ep(new_state, reset_keys)
+        else:
+            r_state, r_obs, _ = vreset(reset_keys)
         out_state = _where_tree(done, r_state, new_state)
         info = dict(info)
         info["terminal_observation"] = obs

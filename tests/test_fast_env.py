@@ -1,8 +1,9 @@
 """Whole-rollout Pallas engine vs the general engine (parallel/fast_env.py).
 
 Step dynamics/reward/done must match the general engine exactly on
-reset-free segments; reset behavior is validated statistically (same
-distributions, different PRNG stream by design).
+reset-free segments; reset draws replay the shared counter-based stream
+(ops/ctr_prng.py), so trajectories stay step-equal THROUGH auto-resets
+(test_trajectory_equality_across_engines_with_resets).
 """
 
 import jax
@@ -252,6 +253,63 @@ def test_quadratic_stab_goal_capture_done():
     gen = {k: float(v) for k, v in jax.device_get(carry.stats.means()).items()}
     assert done_fast.min() >= 1, done_fast
     assert gen["episodes"] >= B
+
+
+def test_trajectory_equality_across_engines_with_resets():
+    """Round-3 unified PRNG (ops/ctr_prng.py): a seeded rollout WITH resets
+    is step-equal across engines — reset draws (init state, inertia, impulse
+    offsets) replay bit-identically, so trajectories re-sync at every
+    episode boundary instead of agreeing only in distribution."""
+    cfg = _cfg(episode_len_sec=0.1,  # 6-step episodes: several resets in 20
+               done_on_out_of_bound=False,
+               disturbances={"dynamics": ({"disturbance_func": "impulse",
+                                           "magnitude": 0.02, "duration": 4,
+                                           "decay_rate": 0.8},)})
+    env = make_quadrotor(cfg)
+    vec = make_vec_env(env, B)
+    steps = 20
+
+    hover = float(env.u_goal[0])
+    fr = FastQuadRollout(env, B, steps_per_call=steps, interpret=True)
+    rows0 = fr.reset(seed=0)
+    state, obs, _ = jax.jit(vec.reset)(jax.random.key(0))
+
+    # Initial reset states match to 1 ulp (identical integer counter draws;
+    # the affine application differs only by XLA fma contraction).
+    np.testing.assert_allclose(fr.states(rows0), np.asarray(state.x),
+                               rtol=1e-6, atol=2e-7)
+    np.testing.assert_allclose(
+        np.asarray(rows0[12]).reshape(B), np.asarray(state.mass), rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(rows0[17]).reshape(B),
+        np.asarray(state.dist_sched["dynamics"]["offsets"],
+                   np.float32).reshape(B))
+
+    rows_out = fr.run(rows0, np.full(4, hover), seed=0)
+    act = jnp.full((B, 4), hover, jnp.float32)
+    carry = RolloutCarry(state, obs, (), EpisodeStats.create(B))
+    carry, _ = jax.jit(
+        lambda c: rollout(vec, lambda ps, o: (act, ps), c, steps, collect=False)
+    )(carry)
+
+    # Trajectories stay step-equal THROUGH ~3 auto-resets per env (resets
+    # re-sync any f32 op-ordering drift; tolerance covers the 6 dynamic
+    # steps between boundaries).
+    np.testing.assert_allclose(
+        fr.states(rows_out), np.asarray(carry.env_state.x), rtol=2e-4, atol=2e-5
+    )
+    # Post-reset inertia and impulse offsets also replayed identically.
+    np.testing.assert_allclose(
+        np.asarray(rows_out[12]).reshape(B), np.asarray(carry.env_state.mass),
+        rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(rows_out[17]).reshape(B),
+        np.asarray(carry.env_state.dist_sched["dynamics"]["offsets"],
+                   np.float32).reshape(B))
+    # Episode counters advanced in lockstep.
+    np.testing.assert_array_equal(
+        np.asarray(rows_out[26]).reshape(B),
+        np.asarray(carry.env_state.episode_idx, np.float32))
 
 
 def test_supports_rejects_out_of_envelope_extras():

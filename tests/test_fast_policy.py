@@ -85,7 +85,7 @@ def test_kernel_step_matches_general_engine():
     st, _, _ = jax.jit(vec.reset)(jax.random.key(1))
     # Overwrite state/physics from the fast rows so both engines step the
     # exact same batch.
-    flat = np.asarray(rows).reshape(25, B)
+    flat = np.asarray(rows).reshape(fp.n_rows, B)
     st = st.replace(
         x=jnp.asarray(obs0),
         mass=jnp.asarray(flat[12]),
