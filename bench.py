@@ -214,21 +214,26 @@ def bench_rl_train():
     if not supports(cfg, allow_normalized=True):
         return None
     env = make_quadrotor(cfg)
-    batch, steps, iters = B, 128, 4
+    batch, steps, chunk, iters = B, 128, 4, 2
     ppo = PPO(env, seed=0, rollout_batch_size=batch, rollout_steps=steps,
               opt_epochs=10, mini_batch_size=batch * steps // 4,
               use_fast_rollout=True, reshuffle_each_epoch=False)
+    # Jitted multi-step training chunk: one dispatch per `chunk` train
+    # steps, the way a real training loop runs on remote devices (the
+    # per-dispatch tunnel round trip here is ~5-8 ms — at a 20 ms device
+    # step that is a 30% tax the loop structure, not the program, causes).
+    run = ppo.train_many(chunk)
     state = ppo.state
-    state, _ = ppo._train_step(state)
+    state, _ = run(state)
     jax.device_get(state.total_steps)
-    state, _ = ppo._train_step(state)
+    state, _ = run(state)
     jax.device_get(state.total_steps)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, metrics = ppo._train_step(state)
+        state, metrics = run(state)
     jax.device_get(metrics["policy_loss"])
     dt = time.perf_counter() - t0
-    return iters * batch * steps / dt
+    return iters * chunk * batch * steps / dt
 
 
 def load_prev_bench():

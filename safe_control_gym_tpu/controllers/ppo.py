@@ -64,6 +64,15 @@ class PPOConfig:
     # iterate the same minibatch blocks in rotated order — saves a
     # ~ms-per-epoch gather on TPU; learning quality is indistinguishable.
     reshuffle_each_epoch: bool = True
+    # Minibatch SGD through ONE fused 2H-wide network (actor+critic hidden
+    # layers concatenated, cross-blocks structurally zero): gradients are
+    # mathematically identical to the separate nets (disjoint params,
+    # additive losses; tested equal to fp tolerance).  Measured SLOWER on
+    # TPU at B=4096 x T=128 (SGD scan 12.8 -> 28.9 ms): the update is
+    # HBM-bound on (N, H) activation traffic, and doubling H doubles the
+    # bytes — MXU tiling was never the bottleneck.  Kept for A/B evidence;
+    # the bandwidth fix is the VMEM-resident update path.
+    fused_update: bool = False
     actor_lr: float = 3e-4
     critic_lr: float = 1e-3
     max_grad_norm: float = 0.5
@@ -167,7 +176,27 @@ class PPO(BaseController):
             key=self._carry_key,
             total_steps=jnp.zeros((), jnp.int32),
         )
-        self._train_step = jax.jit(self._make_train_step())
+        self._train_step_fn = self._make_train_step()
+        self._train_step = jax.jit(self._train_step_fn)
+        self._train_many_cache = {}
+
+    def train_many(self, n: int):
+        """Jitted n-step training chunk: ``lax.scan`` of the full train step.
+
+        One dispatch per n train steps — on remote/tunneled devices the
+        per-dispatch round trip (~5-8 ms here) otherwise caps training
+        throughput regardless of device time.  Returns (state, metrics) with
+        the LAST step's metrics (same contract as ``_train_step``)."""
+        if n not in self._train_many_cache:
+            def f(state):
+                def body(st, _):
+                    st, m = self._train_step_fn(st)
+                    return st, m
+                state, ms = jax.lax.scan(body, state, None, length=n)
+                return state, jax.tree.map(lambda x: x[-1], ms)
+
+            self._train_many_cache[n] = jax.jit(f)
+        return self._train_many_cache[n]
 
     # -- pure functions -------------------------------------------------------
     def _dist(self, ac: ActorCritic, obs):
@@ -306,6 +335,85 @@ class PPO(BaseController):
                     mb[f] = col[:, 0] if flat[f].ndim == 1 else col
                 return mb
 
+            H = cfg.hidden_dim
+            act_dim = self.actor.output_dim
+
+            def fused_losses(ap, logstd, cp, mb):
+                """Both losses through ONE 2H-wide forward (see PPOConfig.
+                fused_update).  The hidden block-diagonal carries no
+                cross-terms, so d/d(ap) and d/d(cp) equal the separate-net
+                gradients exactly; losses are additive over disjoint
+                params, so one value_and_grad recovers both updates."""
+                from safe_control_gym_tpu.models.networks import get_activation
+
+                a, c = ap["params"], cp["params"]
+                zz = jnp.zeros((H, H), jnp.float32)
+                W1 = jnp.concatenate(
+                    [a["Dense_0"]["kernel"], c["Dense_0"]["kernel"]], 1)
+                b1 = jnp.concatenate([a["Dense_0"]["bias"], c["Dense_0"]["bias"]])
+                W2 = jnp.block([[a["Dense_1"]["kernel"], zz],
+                                [zz, c["Dense_1"]["kernel"]]])
+                b2 = jnp.concatenate([a["Dense_1"]["bias"], c["Dense_1"]["bias"]])
+                W3 = jnp.block(
+                    [[a["Dense_2"]["kernel"], jnp.zeros((H, 1), jnp.float32)],
+                     [jnp.zeros((H, act_dim), jnp.float32),
+                      c["Dense_2"]["kernel"]]])
+                b3 = jnp.concatenate([a["Dense_2"]["bias"], c["Dense_2"]["bias"]])
+                act = get_activation(cfg.activation)
+                h = act(mb["obs"] @ W1 + b1)
+                h = act(h @ W2 + b2)
+                out = h @ W3 + b3
+                mean, v_cur = out[:, :act_dim], out[:, act_dim]
+
+                dist = Normal(mean, jnp.exp(logstd))
+                logp = dist.log_prob(mb["act"])
+                ratio = jnp.exp(logp - mb["logp"])
+                clip_adv = (
+                    jnp.clip(ratio, 1 - cfg.clip_param, 1 + cfg.clip_param)
+                    * mb["adv"]
+                )
+                policy_loss = -jnp.minimum(ratio * mb["adv"], clip_adv).mean()
+                entropy_loss = -dist.entropy().mean()
+                approx_kl = (mb["logp"] - logp).mean()
+
+                if cfg.use_clipped_value:
+                    v_old_c = mb["v"] + jnp.clip(
+                        v_cur - mb["v"], -cfg.clip_param, cfg.clip_param
+                    )
+                    v_loss = 0.5 * jnp.maximum(
+                        (v_cur - mb["ret"]) ** 2, (v_old_c - mb["ret"]) ** 2
+                    ).mean()
+                else:
+                    v_loss = 0.5 * ((v_cur - mb["ret"]) ** 2).mean()
+
+                total = policy_loss + cfg.entropy_coef * entropy_loss + v_loss
+                return total, (policy_loss, entropy_loss, approx_kl, v_loss)
+
+            def minibatch_step_fused(carry, mb_rows):
+                ac, aopt, copt = carry
+                mb = unpack(mb_rows)
+                (_, (p_loss, e_loss, kl, v_loss)), (ga, gl, gc) = (
+                    jax.value_and_grad(fused_losses, argnums=(0, 1, 2),
+                                       has_aux=True)
+                    (ac.actor_params, ac.logstd, ac.critic_params, mb)
+                )
+                # KL gate (ppo_utils.py:139-144) applies to the ACTOR update
+                # only; the critic always steps.
+                gate = (cfg.target_kl <= 0) | (kl <= 1.5 * cfg.target_kl)
+                ga, gl = jax.tree.map(
+                    lambda x: x * gate.astype(x.dtype), (ga, gl))
+                updates, aopt2 = self.actor_tx.update(
+                    (ga, gl), aopt, (ac.actor_params, ac.logstd))
+                new_ap, new_logstd = optax.apply_updates(
+                    (ac.actor_params, ac.logstd), updates)
+                cupd, copt2 = self.critic_tx.update(gc, copt, ac.critic_params)
+                new_cp = optax.apply_updates(ac.critic_params, cupd)
+                ac2 = ac.replace(
+                    actor_params=new_ap, critic_params=new_cp, logstd=new_logstd
+                )
+                metrics = jnp.stack([p_loss, v_loss, e_loss, kl])
+                return (ac2, aopt2, copt2), metrics
+
             def minibatch_step(carry, mb_rows):
                 ac, aopt, copt = carry
                 mb = unpack(mb_rows)
@@ -361,6 +469,7 @@ class PPO(BaseController):
                 return (ac2, aopt2, copt2), metrics
 
             keys = jax.random.split(state.key, cfg.opt_epochs + 2)
+            mb_step = minibatch_step_fused if cfg.fused_update else minibatch_step
 
             if cfg.reshuffle_each_epoch:
                 # Reference semantics: fresh permutation per epoch — one
@@ -369,7 +478,7 @@ class PPO(BaseController):
                     perm = jax.random.permutation(key, N)
                     shuffled = packed[perm[: n_mini * cfg.mini_batch_size]]
                     mbs = shuffled.reshape(n_mini, cfg.mini_batch_size, -1)
-                    carry, metrics = jax.lax.scan(minibatch_step, carry, mbs)
+                    carry, metrics = jax.lax.scan(mb_step, carry, mbs)
                     return carry, metrics.mean(0)
             else:
                 # One shuffle per train step; epochs sweep the same minibatch
@@ -377,14 +486,32 @@ class PPO(BaseController):
                 # measurably hurts: re-materializing the 24 MB block tensor
                 # 10x showed up as ~10 ms of dynamic-update-slices in the
                 # device trace (docs/PERF.md).
-                perm = jax.random.permutation(keys[-1], N)
-                blocks = packed[perm[: n_mini * cfg.mini_batch_size]].reshape(
-                    n_mini, cfg.mini_batch_size, -1
-                )
+                #
+                # The shuffle itself is BLOCK-granular when shapes allow:
+                # permuting 96-byte sample rows costs a launch-overhead-bound
+                # row-gather (~1.6 ms) plus a 524k-element sort (~0.6 ms);
+                # permuting 256-sample blocks moves the same bytes in
+                # bandwidth-efficient 24 KB rows with a 2k-element sort.
+                # Sample order within a block is rotation-invariant across
+                # epochs, and blocks mix globally — learning equivalence is
+                # covered by benchmarks/rl_equivalence.py.
+                take = n_mini * cfg.mini_batch_size
+                BLK = 256
+                if take == N and N % BLK == 0 and cfg.mini_batch_size % BLK == 0:
+                    nb = N // BLK
+                    perm = jax.random.permutation(keys[-1], nb)
+                    blocks = packed.reshape(nb, -1)[perm].reshape(
+                        n_mini, cfg.mini_batch_size, -1
+                    )
+                else:
+                    perm = jax.random.permutation(keys[-1], N)
+                    blocks = packed[perm[:take]].reshape(
+                        n_mini, cfg.mini_batch_size, -1
+                    )
 
                 def epoch_step(carry, key):
                     del key
-                    carry, metrics = jax.lax.scan(minibatch_step, carry, blocks)
+                    carry, metrics = jax.lax.scan(mb_step, carry, blocks)
                     return carry, metrics.mean(0)
 
             (ac, aopt, copt), metrics = jax.lax.scan(

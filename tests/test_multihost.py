@@ -22,14 +22,26 @@ WORKER = os.path.join(
 )
 
 
-def _launch(n_procs, devs, port):
-    results = distributed.launch_workers(
-        WORKER, n_procs, devices_per_process=devs, port=port,
-        timeout=900.0,
-        env_overrides={"SCG_TEST_NUM_ENVS": "32", "SCG_TEST_NUM_STEPS": "40"},
-    )
-    for rc, out in results:
-        assert rc == 0, f"worker failed (rc={rc}):\n{out[-3000:]}"
+def _launch(n_procs, devs, port, attempts=2):
+    """Launch a cluster; one retry on load-induced timeout (a worker killed
+    at the deadline exits nonzero).  launch_workers itself serializes
+    clusters machine-wide via an flock, so the common flake cause — two
+    clusters fighting for the cores — is gone; the retry covers a suite
+    process hogging them."""
+    last = None
+    for attempt in range(attempts):
+        results = distributed.launch_workers(
+            WORKER, n_procs, devices_per_process=devs, port=port + 10 * attempt,
+            timeout=900.0,
+            env_overrides={"SCG_TEST_NUM_ENVS": "32", "SCG_TEST_NUM_STEPS": "40"},
+        )
+        if all(rc == 0 for rc, _ in results):
+            break
+        last = results
+    else:
+        rc, out = next((r for r in last if r[0] != 0), last[0])
+        raise AssertionError(f"worker failed after {attempts} attempts "
+                             f"(rc={rc}):\n{out[-3000:]}")
     stats_lines = [
         line for _, out in results for line in out.splitlines()
         if line.startswith("MULTIHOST_STATS ")

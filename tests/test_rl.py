@@ -188,3 +188,57 @@ def test_rarl_on_cartpole():
                  mini_batch_size=50)
     s2, m2 = rarl2._train_pro(rarl2.state)
     assert np.isfinite(float(jax.device_get(m2["kl"])))
+
+
+def test_ppo_fused_update_matches_separate():
+    """fused_update=True computes gradients through ONE 2H-wide block-diag
+    network; params after several train steps equal the separate-net path to
+    fp tolerance (disjoint params + additive losses => identical math)."""
+    env = make_quadrotor(QuadrotorConfig(
+        quad_type=3, ctrl_freq=60, pyb_freq=240, episode_len_sec=2,
+        task="traj_tracking",
+        task_info={"trajectory_type": "figure8", "trajectory_plane": "xy",
+                   "trajectory_position_offset": [0, 0], "trajectory_scale": 1.0,
+                   "num_cycles": 1, "proj_point": [0, 0, 0.5],
+                   "proj_normal": [0, 1, 1]},
+        cost="rl_reward", normalized_rl_action_space=True,
+    ))
+    outs = {}
+    for fused in (False, True):
+        ppo = PPO(env, seed=0, rollout_batch_size=64, rollout_steps=16,
+                  opt_epochs=3, mini_batch_size=256, fused_update=fused)
+        s = ppo.state
+        for _ in range(3):
+            s, m = ppo._train_step(s)
+        outs[fused] = jax.device_get((s.ac.actor_params, s.ac.critic_params,
+                                      s.ac.logstd))
+    for xa, xb in zip(jax.tree.leaves(outs[False]), jax.tree.leaves(outs[True])):
+        np.testing.assert_allclose(xa, xb, rtol=2e-4, atol=1e-6)
+
+
+def test_ppo_train_many_chunk_matches_loop():
+    """train_many(n) (one dispatch per n train steps) advances the state
+    exactly like n sequential _train_step calls."""
+    env = make_quadrotor(QuadrotorConfig(
+        quad_type=3, ctrl_freq=60, pyb_freq=240, episode_len_sec=2,
+        task="traj_tracking",
+        task_info={"trajectory_type": "figure8", "trajectory_plane": "xy",
+                   "trajectory_position_offset": [0, 0], "trajectory_scale": 1.0,
+                   "num_cycles": 1, "proj_point": [0, 0, 0.5],
+                   "proj_normal": [0, 1, 1]},
+        cost="rl_reward", normalized_rl_action_space=True,
+    ))
+    ppo = PPO(env, seed=0, rollout_batch_size=32, rollout_steps=8,
+              opt_epochs=2, mini_batch_size=64)
+    s_loop = ppo.state
+    for _ in range(3):
+        s_loop, m_loop = ppo._train_step(s_loop)
+    s_chunk, m_chunk = ppo.train_many(3)(ppo.state)
+    assert int(jax.device_get(s_chunk.total_steps)) == \
+        int(jax.device_get(s_loop.total_steps))
+    for xa, xb in zip(jax.tree.leaves(jax.device_get(s_loop.ac)),
+                      jax.tree.leaves(jax.device_get(s_chunk.ac))):
+        np.testing.assert_allclose(xa, xb, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        float(jax.device_get(m_loop["policy_loss"])),
+        float(jax.device_get(m_chunk["policy_loss"])), rtol=1e-4)
