@@ -108,13 +108,13 @@ def tpu_dispatch_probe(envs=4096, s_short=64, s_long=512):
     mesh = distributed.host_mesh()
     axes = (distributed.HOST_AXIS, distributed.CHIP_AXIS)
     init = distributed.sharded_init_fn(env, envs, mesh)
-    carry0 = init(jax.random.key(0))
     hover = float(env.u_goal[0])
     policy = lambda ps, obs: (jnp.full(obs.shape[:-1] + (4,), hover, obs.dtype), ps)
     vec = make_vec_env(env, envs)
 
     def timed(steps, iters=4):
         run = sharded_rollout_fn(vec, policy, steps, mesh, axis_name=axes)
+        carry0 = init(jax.random.key(0))  # fresh: the rollout donates it
         carry, st = run(carry0)
         jax.device_get(st["episodes"])
         carry, st = run(carry)

@@ -73,6 +73,14 @@ class PPOConfig:
     # bytes — MXU tiling was never the bottleneck.  Kept for A/B evidence;
     # the bandwidth fix is the VMEM-resident update path.
     fused_update: bool = False
+    # VMEM-resident Pallas minibatch update (parallel/fast_update.py): the
+    # packed minibatch is read from HBM ONCE and the dual-MLP fwd+bwd runs
+    # with activations resident in VMEM — the bandwidth fix the profile
+    # asked for (the XLA update round-trips ~200 MB of activations per
+    # 131072-sample minibatch).  Exact gradients (tests/test_fast_update.py);
+    # requires the quad-3D 12-obs/4-act shape, tanh/relu MLPs, and
+    # use_clipped_value=False.
+    use_fast_update: bool = False
     actor_lr: float = 3e-4
     critic_lr: float = 1e-3
     max_grad_norm: float = 0.5
@@ -176,6 +184,18 @@ class PPO(BaseController):
             key=self._carry_key,
             total_steps=jnp.zeros((), jnp.int32),
         )
+        self._fu = None
+        if cfg.use_fast_update:
+            from safe_control_gym_tpu.parallel.fast_update import FastPPOUpdate
+
+            assert not cfg.use_clipped_value and cfg.activation in ("tanh", "relu")
+            assert obs_dim == 12 and act_dim == 4, \
+                "fast update kernel is specialized to the quad-3D shapes"
+            assert cfg.mini_batch_size % 8 == 0
+            self._fu = FastPPOUpdate(
+                cfg.mini_batch_size, cfg.hidden_dim, cfg.activation,
+                cfg.clip_param, interpret=self._fast_interpret,
+            )
         self._train_step_fn = self._make_train_step()
         self._train_step = jax.jit(self._train_step_fn)
         self._train_many_cache = {}
@@ -414,6 +434,39 @@ class PPO(BaseController):
                 metrics = jnp.stack([p_loss, v_loss, e_loss, kl])
                 return (ac2, aopt2, copt2), metrics
 
+            def minibatch_step_kernel(carry, mb_T):
+                """Gradients from the VMEM-resident Pallas kernel
+                (parallel/fast_update.py); KL gate, entropy term, and the
+                Adam steps stay in XLA (they are parameter-sized)."""
+                import math as _math
+
+                ac, aopt, copt = carry
+                wops = self._fu.prep_weights(
+                    ac.actor_params, ac.critic_params, ac.logstd)
+                ga, gc, glogstd, sums = self._fu.grads(mb_T, wops)
+                n = cfg.mini_batch_size
+                p_loss = -sums[0] / n
+                kl = sums[1] / n
+                v_loss = 0.5 * sums[2] / n
+                # Gaussian entropy depends only on logstd: loss value and
+                # gradient are closed-form outside the kernel.
+                e_loss = -(jnp.sum(ac.logstd)
+                           + 0.5 * act_dim * (1.0 + _math.log(2.0 * _math.pi)))
+                glogstd = glogstd - cfg.entropy_coef
+                gate = (cfg.target_kl <= 0) | (kl <= 1.5 * cfg.target_kl)
+                ga, glogstd = jax.tree.map(
+                    lambda x: x * gate.astype(x.dtype), (ga, glogstd))
+                updates, aopt2 = self.actor_tx.update(
+                    (ga, glogstd), aopt, (ac.actor_params, ac.logstd))
+                new_ap, new_logstd = optax.apply_updates(
+                    (ac.actor_params, ac.logstd), updates)
+                cupd, copt2 = self.critic_tx.update(gc, copt, ac.critic_params)
+                new_cp = optax.apply_updates(ac.critic_params, cupd)
+                ac2 = ac.replace(
+                    actor_params=new_ap, critic_params=new_cp, logstd=new_logstd
+                )
+                return (ac2, aopt2, copt2), jnp.stack([p_loss, v_loss, e_loss, kl])
+
             def minibatch_step(carry, mb_rows):
                 ac, aopt, copt = carry
                 mb = unpack(mb_rows)
@@ -469,7 +522,20 @@ class PPO(BaseController):
                 return (ac2, aopt2, copt2), metrics
 
             keys = jax.random.split(state.key, cfg.opt_epochs + 2)
-            mb_step = minibatch_step_fused if cfg.fused_update else minibatch_step
+            if self._fu is not None:
+                mb_step = minibatch_step_kernel
+            elif cfg.fused_update:
+                mb_step = minibatch_step_fused
+            else:
+                mb_step = minibatch_step
+
+            def to_kernel_layout(mbs):
+                """(n_mini, mb, F) -> (n_mini, F, 8, mb/8): batch on lanes,
+                one bandwidth-bound transpose per shuffle."""
+                if self._fu is None:
+                    return mbs
+                return mbs.swapaxes(1, 2).reshape(
+                    n_mini, mbs.shape[-1], 8, cfg.mini_batch_size // 8)
 
             if cfg.reshuffle_each_epoch:
                 # Reference semantics: fresh permutation per epoch — one
@@ -478,7 +544,8 @@ class PPO(BaseController):
                     perm = jax.random.permutation(key, N)
                     shuffled = packed[perm[: n_mini * cfg.mini_batch_size]]
                     mbs = shuffled.reshape(n_mini, cfg.mini_batch_size, -1)
-                    carry, metrics = jax.lax.scan(mb_step, carry, mbs)
+                    carry, metrics = jax.lax.scan(
+                        mb_step, carry, to_kernel_layout(mbs))
                     return carry, metrics.mean(0)
             else:
                 # One shuffle per train step; epochs sweep the same minibatch
@@ -508,6 +575,7 @@ class PPO(BaseController):
                     blocks = packed[perm[:take]].reshape(
                         n_mini, cfg.mini_batch_size, -1
                     )
+                blocks = to_kernel_layout(blocks)
 
                 def epoch_step(carry, key):
                     del key

@@ -58,7 +58,6 @@ def perf_main():
     mesh = distributed.host_mesh()
     axes = (distributed.HOST_AXIS, distributed.CHIP_AXIS)
     init = distributed.sharded_init_fn(env, num_envs, mesh)
-    carry0 = init(jax.random.key(0))
     hover = float(env.u_goal[0])
 
     def policy(pstate, obs):
@@ -68,6 +67,8 @@ def perf_main():
 
     def timed(num_steps):
         run = sharded_rollout_fn(vec, policy, num_steps, mesh, axis_name=axes)
+        # Fresh carry per length: the rollout donates its input carry.
+        carry0 = init(jax.random.key(0))
         # Completion barrier on the REPLICATED stats output: the carry spans
         # non-addressable devices in multi-process runs, cannot be fetched.
         carry, st = run(carry0)  # compile
