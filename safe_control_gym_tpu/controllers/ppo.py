@@ -77,10 +77,13 @@ class PPOConfig:
     # packed minibatch is read from HBM ONCE and the dual-MLP fwd+bwd runs
     # with activations resident in VMEM — the bandwidth fix the profile
     # asked for (the XLA update round-trips ~200 MB of activations per
-    # 131072-sample minibatch).  Exact gradients (tests/test_fast_update.py);
-    # requires the quad-3D 12-obs/4-act shape, tanh/relu MLPs, and
-    # use_clipped_value=False.
-    use_fast_update: bool = False
+    # 131072-sample minibatch; measured 25.6 -> 16.7 ms/train-step,
+    # 21.3M -> 31.5M env-steps/s at B=4096 x T=128).  Exact gradients
+    # (tests/test_fast_update.py); requires the quad-3D 12-obs/4-act
+    # shape, tanh/relu MLPs, use_clipped_value=False.  "auto" (default)
+    # enables it on the TPU backend when those conditions hold; True
+    # forces it (asserts on violation); False keeps the XLA update.
+    use_fast_update: Any = "auto"
     actor_lr: float = 3e-4
     critic_lr: float = 1e-3
     max_grad_norm: float = 0.5
@@ -185,7 +188,16 @@ class PPO(BaseController):
             total_steps=jnp.zeros((), jnp.int32),
         )
         self._fu = None
-        if cfg.use_fast_update:
+        use_fu = cfg.use_fast_update
+        if use_fu == "auto":
+            use_fu = (
+                (jax.default_backend() == "tpu" or self._fast_interpret)
+                and not cfg.use_clipped_value
+                and cfg.activation in ("tanh", "relu")
+                and obs_dim == 12 and act_dim == 4
+                and cfg.mini_batch_size % 8 == 0
+            )
+        if use_fu:
             from safe_control_gym_tpu.parallel.fast_update import FastPPOUpdate
 
             assert not cfg.use_clipped_value and cfg.activation in ("tanh", "relu")

@@ -210,7 +210,7 @@ class FastPPOUpdate:
     """Host wrapper: per-minibatch exact-PPO-gradient kernel."""
 
     def __init__(self, mb_size: int, hidden: int, act: str, clip_param: float,
-                 chunk: int = 16384, interpret: bool = False):
+                 chunk: int = 4096, interpret: bool = False):
         chunk = min(chunk, mb_size)
         assert mb_size % chunk == 0 and chunk % 8 == 0
         self.mb = mb_size
