@@ -61,9 +61,16 @@ def run(
     ctrl_freq: int = 25,
     verbose: bool = False,
     controller_cls=Controller,
+    gui: bool = False,
+    gui_every: int = 2,
 ):
     """Run competition episodes; returns per-episode stats
-    (reference getting_started.py run(), :42-342)."""
+    (reference getting_started.py run(), :42-342).
+
+    ``gui=True`` attaches the live viewer (reference PyBullet GUI,
+    base_aviary.py:150-189) and syncs the loop to wall clock
+    (getting_started.py:245-246); on a display-less host it degrades to
+    buffering frames, written to ``gui_episode<N>.gif`` per episode."""
     episodes = []
     if use_firmware:
         env_func = lambda: make_quadrotor(
@@ -102,6 +109,12 @@ def run(
                 verbose=verbose,
             )
 
+        viewer = None
+        if gui:
+            from safe_control_gym_tpu.utils.viewer import LiveViewer, sync
+
+            viewer = LiveViewer(env=env, every=gui_every)
+
         cum_reward = 0.0
         collisions = 0
         gates_passed = 0
@@ -136,6 +149,10 @@ def run(
             if step_info:
                 collisions += int(np.asarray(step_info.get("collision", 0)))
             ctrl.interStepLearn()
+            if viewer is not None:
+                viewer.update(np.asarray(obs)[:12], t=t, reward=float(reward))
+                if viewer.interactive:
+                    sync(i, t_start, 1.0 / ctrl_freq)
             if done:
                 break
         if step_info:
@@ -143,6 +160,11 @@ def run(
             n_gates = len(level_config.get("gates", []) or [])
             gates_passed = n_gates if gid == -1 else gid
         elapsed = time.time() - t_start
+        if viewer is not None:
+            saved = viewer.close(save_path=None if viewer.interactive
+                                 else f"gui_episode{ep}.gif", fps=ctrl_freq // gui_every)
+            if saved and verbose:
+                print(f"episode {ep}: wrote {saved}")
         ctrl.interEpisodeLearn()
         episodes.append(
             {

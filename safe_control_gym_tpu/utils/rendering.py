@@ -21,7 +21,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ["render_quadrotor", "render_cartpole", "save_video", "FrameRecorder"]
+__all__ = ["render_quadrotor", "render_cartpole", "save_video", "FrameRecorder",
+           "draw_quadrotor_scene", "draw_quadrotor_drone"]
 
 
 def _fig_to_rgb(fig):
@@ -46,39 +47,21 @@ def _rot_xyz_np(phi, theta, psi):
     return rz @ ry @ rx
 
 
-def render_quadrotor(
-    state_x,
-    quad_type: int = 3,
-    gates: Optional[Sequence] = None,
-    obstacles: Optional[Sequence] = None,
-    goal: Optional[np.ndarray] = None,
-    trajectory: Optional[np.ndarray] = None,
-    width: int = 640,
-    height: int = 480,
-    arm_scale: float = 4.0,
-) -> np.ndarray:
-    """Render one quadrotor state to an (H, W, 3) uint8 RGB frame.
-
-    ``state_x`` is the env state vector (2, 6 or 12 dims per QuadType);
-    ``gates`` rows are (x, y, z, r, p, yaw[, type]) apertures, ``obstacles``
-    rows (x, y, z, ...) cylinder bases — the same layouts the env config
-    carries (reference quadrotor.py:331-354).
-    """
-    import matplotlib
-
-    matplotlib.use("Agg", force=False)
-    import matplotlib.pyplot as plt
-
+def _pose_from_state(state_x, quad_type: int):
+    """Env state vector -> (pos(3,), rpy(3,)) for any QuadType."""
     x = np.asarray(state_x, dtype=float).reshape(-1)
     if quad_type == 1:
-        pos, rpy = np.array([0.0, 0.0, x[0]]), np.zeros(3)
-    elif quad_type == 2:
-        pos, rpy = np.array([x[0], 0.0, x[2]]), np.array([0.0, x[4], 0.0])
-    else:
-        pos, rpy = np.array([x[0], x[2], x[4]]), x[6:9]
+        return np.array([0.0, 0.0, x[0]]), np.zeros(3)
+    if quad_type == 2:
+        return np.array([x[0], 0.0, x[2]]), np.array([0.0, x[4], 0.0])
+    return np.array([x[0], x[2], x[4]]), x[6:9]
 
-    fig = plt.figure(figsize=(width / 100, height / 100), dpi=100)
-    ax = fig.add_subplot(projection="3d")
+
+def draw_quadrotor_scene(ax, gates=None, obstacles=None, goal=None,
+                         trajectory=None):
+    """Draw the static maze scene (grid, gates, obstacles, goal/reference)
+    onto an existing 3D axes.  Shared by the offline rasterizer and the
+    interactive ``LiveViewer`` so both show the same world."""
     ax.set_box_aspect((1, 1, 0.6))
 
     # Ground grid.
@@ -121,21 +104,58 @@ def render_quadrotor(
         gpt = np.asarray(goal, dtype=float).reshape(-1)
         ax.scatter([gpt[0]], [gpt[1]], [gpt[2]], color="tab:green", marker="*", s=80)
 
-    # Drone: two motor arms (X config) + heading tick.
-    arm = 0.0397 * arm_scale
-    rot = _rot_xyz_np(*rpy)
-    for d in (np.array([1, 1, 0]), np.array([1, -1, 0])):
-        tip1 = pos + rot @ (arm * d / np.sqrt(2))
-        tip2 = pos - rot @ (arm * d / np.sqrt(2))
-        ax.plot(*np.stack([tip1, tip2]).T, color="tab:blue", lw=2.5)
-    nose = pos + rot @ np.array([2 * arm, 0, 0])
-    ax.plot(*np.stack([pos, nose]).T, color="tab:red", lw=1.5)
-
     ax.set_xlim(-2.5, 2.5)
     ax.set_ylim(-2.5, 2.5)
     ax.set_zlim(0, 2.5)
     ax.set_xlabel("x")
     ax.set_ylabel("y")
+
+
+def draw_quadrotor_drone(ax, pos, rpy, arm_scale: float = 4.0):
+    """Draw the drone (two motor arms in X config + heading tick) at
+    ``pos``/``rpy``; returns the created line artists so a live viewer can
+    remove and redraw them each frame."""
+    arm = 0.0397 * arm_scale
+    rot = _rot_xyz_np(*rpy)
+    artists = []
+    for d in (np.array([1, 1, 0]), np.array([1, -1, 0])):
+        tip1 = pos + rot @ (arm * d / np.sqrt(2))
+        tip2 = pos - rot @ (arm * d / np.sqrt(2))
+        artists += ax.plot(*np.stack([tip1, tip2]).T, color="tab:blue", lw=2.5)
+    nose = pos + rot @ np.array([2 * arm, 0, 0])
+    artists += ax.plot(*np.stack([pos, nose]).T, color="tab:red", lw=1.5)
+    return artists
+
+
+def render_quadrotor(
+    state_x,
+    quad_type: int = 3,
+    gates: Optional[Sequence] = None,
+    obstacles: Optional[Sequence] = None,
+    goal: Optional[np.ndarray] = None,
+    trajectory: Optional[np.ndarray] = None,
+    width: int = 640,
+    height: int = 480,
+    arm_scale: float = 4.0,
+) -> np.ndarray:
+    """Render one quadrotor state to an (H, W, 3) uint8 RGB frame.
+
+    ``state_x`` is the env state vector (2, 6 or 12 dims per QuadType);
+    ``gates`` rows are (x, y, z, r, p, yaw[, type]) apertures, ``obstacles``
+    rows (x, y, z, ...) cylinder bases — the same layouts the env config
+    carries (reference quadrotor.py:331-354).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    pos, rpy = _pose_from_state(state_x, quad_type)
+    fig = plt.figure(figsize=(width / 100, height / 100), dpi=100)
+    ax = fig.add_subplot(projection="3d")
+    draw_quadrotor_scene(ax, gates=gates, obstacles=obstacles, goal=goal,
+                         trajectory=trajectory)
+    draw_quadrotor_drone(ax, pos, rpy, arm_scale=arm_scale)
     return _fig_to_rgb(fig)
 
 
