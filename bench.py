@@ -165,6 +165,51 @@ def bench_maze():
     return iters * S * B / dt
 
 
+def bench_cartpole():
+    """BASELINE config 2: CartPole trajectory tracking with box constraints
+    + white-noise action disturbance, on the cartpole whole-rollout kernel
+    (parallel/fast_cartpole.py; step-exact vs the general engine in
+    tests/test_fast_cartpole.py)."""
+    import numpy as np
+
+    from safe_control_gym_tpu.envs.cartpole import CartPoleConfig, make_cartpole
+    from safe_control_gym_tpu.parallel.fast_cartpole import (
+        FastCartPoleRollout,
+        supports,
+    )
+
+    cfg = CartPoleConfig(
+        ctrl_freq=50, pyb_freq=50, episode_len_sec=10,
+        task="traj_tracking",
+        randomized_init=True,
+        constraints=(
+            {"constraint_form": "default_constraint", "constrained_variable": "state"},
+            {"constraint_form": "default_constraint", "constrained_variable": "input"},
+        ),
+        disturbances={
+            "action": ({"disturbance_func": "white_noise", "std": 0.2},),
+        },
+        done_on_out_of_bound=True,
+    )
+    if not supports(cfg):
+        return None
+    env = make_cartpole(cfg)
+    S, iters = 8192, 2
+    fr = FastCartPoleRollout(env, B, steps_per_call=S)
+    act = fr.prepare_action(np.asarray([0.0]))
+    rows = fr.reset(seed=0)
+    rows = fr.run(rows, act, 1)
+    jax.device_get(rows)
+    rows = fr.run(rows, act, 2)
+    jax.device_get(rows)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        rows = fr.run(rows, act, 3 + i)
+    jax.device_get(rows)
+    dt = time.perf_counter() - t0
+    return iters * S * B / dt
+
+
 def bench_policy_in_loop():
     """Closed-loop throughput: a REAL policy (PPO actor+critic MLP forward +
     Gaussian sampling) acting in-kernel every step, trajectory recorded to
@@ -262,7 +307,7 @@ def regression_deltas(record, prev):
     if not prev:
         return None, []
     keys = ("value", "general_engine_value", "policy_in_loop_value",
-            "maze_level2_value", "rl_train_value")
+            "maze_level2_value", "rl_train_value", "cartpole_value")
     deltas, flagged = {}, []
     for k in keys:
         new_v, old_v = record.get(k), prev.get(k)
@@ -296,6 +341,7 @@ def main():
     policy_loop = bench_policy_in_loop()
     maze = bench_maze()
     rl_train = bench_rl_train()
+    cartpole = bench_cartpole()
     headline = fast if fast is not None else general
     record = {
         "metric": "env_steps_per_sec_per_chip_quad3d_4096",
@@ -316,6 +362,9 @@ def main():
         # Full PPO train step (collection + GAE + 10 SGD epochs),
         # B=4096 x T=128 — the RL-training bar (>=2e7).
         "rl_train_value": round(rl_train, 1) if rl_train is not None else None,
+        # BASELINE config 2: CartPole tracking + box constraints + action
+        # white noise on the cartpole whole-rollout kernel.
+        "cartpole_value": round(cartpole, 1) if cartpole is not None else None,
     }
     prev, prev_name = load_prev_bench()
     deltas, flagged = regression_deltas(record, prev)

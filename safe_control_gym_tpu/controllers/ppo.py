@@ -156,22 +156,46 @@ class PPO(BaseController):
         )
         self._fp = None
         if use_fast_rollout:
-            from safe_control_gym_tpu.parallel.fast_env import supports
-            from safe_control_gym_tpu.parallel.fast_policy import FastPolicyRollout
+            from safe_control_gym_tpu.envs.cartpole import CartPoleConfig
 
-            assert supports(env.config, allow_normalized=True), \
-                "env config outside the fast-engine envelope"
             assert not (cfg.norm_obs or cfg.norm_reward), \
                 "fast rollout does not implement running normalizers"
             assert action_filter_fn is None
-            assert obs_dim == 12 and act_dim == 4
-            self._fp = FastPolicyRollout(
-                env, cfg.rollout_batch_size, cfg.rollout_steps,
-                mlp_hidden=cfg.hidden_dim, mlp_act=cfg.activation,
-                interpret=self._fast_interpret,
-            )
+            if isinstance(env.config, CartPoleConfig):
+                from safe_control_gym_tpu.parallel.fast_cartpole import (
+                    FastCartPolePolicyRollout,
+                )
+                from safe_control_gym_tpu.parallel.fast_cartpole import (
+                    supports as cp_supports,
+                )
+
+                assert cp_supports(env.config, allow_normalized=True), \
+                    "env config outside the fast-cartpole envelope"
+                assert act_dim == 1
+                self._fp = FastCartPolePolicyRollout(
+                    env, cfg.rollout_batch_size, cfg.rollout_steps,
+                    mlp_hidden=cfg.hidden_dim, mlp_act=cfg.activation,
+                    interpret=self._fast_interpret,
+                )
+            else:
+                from safe_control_gym_tpu.parallel.fast_env import supports
+                from safe_control_gym_tpu.parallel.fast_policy import (
+                    FastPolicyRollout,
+                )
+
+                assert supports(env.config, allow_normalized=True,
+                                allow_goal_horizon=True), \
+                    "env config outside the fast-engine envelope"
+                assert act_dim == 4
+                self._fp = FastPolicyRollout(
+                    env, cfg.rollout_batch_size, cfg.rollout_steps,
+                    mlp_hidden=cfg.hidden_dim, mlp_act=cfg.activation,
+                    interpret=self._fast_interpret,
+                )
+            assert obs_dim == self._fp.obs_dim, \
+                (obs_dim, self._fp.obs_dim)
             env_state = self._fp.reset(seed)
-            obs = self._fp.states(env_state)
+            obs = self._fp.observe(env_state)
         else:
             env_state, obs, _ = jax.jit(self.vec.reset)(k3)
         self.state = PPOState(
@@ -312,7 +336,7 @@ class PPO(BaseController):
                 "logp": d["logp"],
                 "terminal_v": term_v,
             }
-            state = state.replace(env_state=rows, obs=fp.states(rows), key=key)
+            state = state.replace(env_state=rows, obs=fp.observe(rows), key=key)
             return state, roll
 
         def gae(roll, last_val):

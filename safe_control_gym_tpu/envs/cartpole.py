@@ -118,6 +118,8 @@ class CartPoleState(struct.PyTreeNode):
     key: jnp.ndarray
     ctrl_step: jnp.ndarray  # int32
     pyb_step: jnp.ndarray  # int32
+    env_seed: jnp.ndarray  # int32 24-bit counter-PRNG identity (ops/ctr_prng.py)
+    episode_idx: jnp.ndarray  # int32 episode counter for the reset stream
     pole_length: jnp.ndarray  # per-episode randomized physical params
     pole_mass: jnp.ndarray
     cart_mass: jnp.ndarray
@@ -235,13 +237,23 @@ def make_cartpole(config: CartPoleConfig = CartPoleConfig()) -> FnEnv:
     u_goal_j = jnp.asarray(u_goal, dtype)
     goal_tol = float(task_info["stabilization_goal_tolerance"])
 
-    def _uniform_add(key, nominal, info, name):
-        if name not in info:
-            return jnp.asarray(nominal, dtype)
-        lo, hi = float(info[name]["low"]), float(info[name]["high"])
-        return jnp.asarray(nominal, dtype) + jax.random.uniform(
-            key, (), dtype, minval=lo, maxval=hi
-        )
+    # Consolidated randomization bounds in counter-slot order: 0..2 inertia
+    # (pole_length, pole_mass, cart_mass), 3..6 initial state, 7 impulse
+    # offset (same affine-draw scheme as quadrotor._reset_core).
+    _rand_names = ["pole_length", "pole_mass", "cart_mass"] + [
+        f"init_{s}" for s in STATE_LABELS
+    ]
+    _rand_infos = ([inertial_rand if cfg.randomized_inertial_prop else {}] * 3
+                   + [init_rand if cfg.randomized_init else {}] * 4)
+    _rand_lo = jnp.asarray(
+        [float(i[n]["low"]) if n in i else 0.0
+         for n, i in zip(_rand_names, _rand_infos)], dtype)
+    _rand_hi = jnp.asarray(
+        [float(i[n]["high"]) if n in i else 0.0
+         for n, i in zip(_rand_names, _rand_infos)], dtype)
+    _nominal_rand = jnp.asarray(
+        [nom_pole_length, nom_pole_mass, nom_cart_mass]
+        + [float(init_state.get(f"init_{s}", 0.0)) for s in STATE_LABELS], dtype)
 
     def _extend_obs(obs, next_step):
         """Goal-horizon obs augmentation (benchmark_env.py:406-420)."""
@@ -264,37 +276,43 @@ def make_cartpole(config: CartPoleConfig = CartPoleConfig()) -> FnEnv:
             )
         return _extend_obs(obs, state.ctrl_step + 1)
 
-    def reset(key) -> tuple:
-        k_init, k_inertial, k_obs, k_act, k_dyn, carry = jax.random.split(key, 6)
-        # Inertial randomization (additive, benchmark_env.py:277-308).
-        if cfg.randomized_inertial_prop:
-            ks = jax.random.split(k_inertial, 3)
-            pl = _uniform_add(ks[0], nom_pole_length, inertial_rand, "pole_length")
-            pm = _uniform_add(ks[1], nom_pole_mass, inertial_rand, "pole_mass")
-            cm = _uniform_add(ks[2], nom_cart_mass, inertial_rand, "cart_mass")
-        else:
-            pl = jnp.asarray(nom_pole_length, dtype)
-            pm = jnp.asarray(nom_pole_mass, dtype)
-            cm = jnp.asarray(nom_cart_mass, dtype)
-        # Initial state randomization.
-        vals = []
-        ks = jax.random.split(k_init, 4)
-        for i, s in enumerate(STATE_LABELS):
-            nom = float(init_state.get(f"init_{s}", 0.0))
-            if cfg.randomized_init:
-                vals.append(_uniform_add(ks[i], nom, init_rand, f"init_{s}"))
-            else:
-                vals.append(jnp.asarray(nom, dtype))
-        x0 = jnp.stack(vals)
+    def _reset_core(env_seed, episode_idx, noise_key, obs_key):
+        """Counter-based reset draws (ops/ctr_prng.py): every randomization
+        channel is a pure function of (env_seed, episode_idx, slot), shared
+        bit-exactly with the whole-rollout Pallas engine's in-kernel
+        auto-reset (parallel/fast_cartpole.py).  Slot layout: 0..2 inertia
+        (pole_length, pole_mass, cart_mass), 3..6 initial state, 7 impulse
+        step offset."""
+        from safe_control_gym_tpu.ops import ctr_prng
+
+        base = ctr_prng.episode_base(env_seed, episode_idx)
+        u_all = ctr_prng.uniform_slots(base, 8).astype(dtype)
+        drawn = _nominal_rand + _rand_lo + u_all[:7] * (_rand_hi - _rand_lo)
+        pl, pm, cm = drawn[0], drawn[1], drawn[2]
+        x0 = drawn[3:7]
+        k_obs, k_act, k_dyn = (jax.random.fold_in(noise_key, i) for i in (11, 12, 13))
         sched = {
             m: (p.init(k) if p is not None else jnp.zeros((0,), jnp.int32))
             for (m, p), k in zip(dist_progs.items(), [k_obs, k_act, k_dyn])
         }
+        # Impulse step offsets come from the shared counter stream (slot 7),
+        # overriding the keyed randint — same formula the kernel applies on
+        # in-kernel resets (quadrotor._reset_core does the same).
+        dyn_sched = sched.get("dynamics")
+        if isinstance(dyn_sched, dict) and dyn_sched.get("offsets") is not None \
+                and np.prod(dyn_sched["offsets"].shape) == 1:
+            dyn_sched = dict(dyn_sched)
+            dyn_sched["offsets"] = jnp.floor(
+                u_all[7] * max_steps
+            ).astype(jnp.int32).reshape(dyn_sched["offsets"].shape)
+            sched["dynamics"] = dyn_sched
         state = CartPoleState(
             x=x0,
-            key=carry,
+            key=noise_key,
             ctrl_step=jnp.zeros((), jnp.int32),
             pyb_step=jnp.zeros((), jnp.int32),
+            env_seed=env_seed,
+            episode_idx=jnp.asarray(episode_idx, jnp.int32),
             pole_length=pl,
             pole_mass=pm,
             cart_mass=cm,
@@ -303,12 +321,30 @@ def make_cartpole(config: CartPoleConfig = CartPoleConfig()) -> FnEnv:
             adv_force=jnp.zeros((1,), dtype),
             adv_act=jnp.zeros((1,), dtype),
         )
-        k_obs_noise = jax.random.fold_in(carry, jnp.int32(-1))
-        obs = _obs(state, k_obs_noise)
+        obs = _obs(state, obs_key)
         info = {}
         if constraints is not None:
             info["constraint_values_state"] = constraints.get_state_values(state.x)
         return state, obs, info
+
+    def reset(key) -> tuple:
+        from safe_control_gym_tpu.ops import ctr_prng
+
+        env_seed = ctr_prng.env_seed_from_key(key)
+        noise_key = jax.random.fold_in(key, 7919)
+        return _reset_core(
+            env_seed, jnp.zeros((), jnp.int32), noise_key,
+            jax.random.fold_in(noise_key, jnp.int32(-1)),
+        )
+
+    def reset_episode(state: CartPoleState, noise_key):
+        """Fresh episode for an auto-resetting env: same env identity, next
+        episode index — the masked-reset path (vector.py) and the in-kernel
+        path (fast_cartpole.py) draw identical randomization."""
+        return _reset_core(
+            state.env_seed, state.episode_idx + 1, noise_key,
+            jax.random.fold_in(noise_key, jnp.int32(-1)),
+        )
 
     def step(state: CartPoleState, action):
         key, k_step = jax.random.split(state.key)
@@ -466,7 +502,8 @@ def make_cartpole(config: CartPoleConfig = CartPoleConfig()) -> FnEnv:
         ctrl_freq=cfg.ctrl_freq,
         pyb_freq=cfg.pyb_freq,
         episode_len_sec=cfg.episode_len_sec,
-        extras={"set_adversary_control": set_adversary_control},
+        extras={"set_adversary_control": set_adversary_control,
+                "reset_episode": reset_episode},
     )
 
 

@@ -15,10 +15,12 @@ figure8/circle/square trajectory tracking (the reference generators are
 closed-form — benchmark.py:124-170, incl. the piecewise-linear square — so
 the kernel evaluates them analytically instead of gathering from a table),
 box out-of-bound done, goal-capture done (stabilization + quadratic),
-optional impulse dynamics disturbance, observation white noise (applied to
-the policy input in fast_policy.py; a constant-action rollout's states are
-unaffected by construction), default-constraint violation counting.
-Everything else uses the general engine.
+optional impulse dynamics disturbance, observation white noise and the
+goal-horizon obs extension (both applied to the policy input in
+fast_policy.py; a constant-action rollout's states are unaffected by
+construction), default-constraint violation counting.  CartPole has its own
+whole-rollout engine (fast_cartpole.py).  Everything else uses the general
+engine.
 
 Reset randomization draws from the counter-based stream BOTH engines share
 (ops/ctr_prng.py): every draw is a pure function of (env_seed, episode_idx,
@@ -57,7 +59,8 @@ _STATS_KEYS = ("ep_return", "ep_length", "ep_violations", "done_count",
                "sum_return", "sum_length", "sum_violations")
 
 
-def supports(cfg, allow_normalized: bool = False, allow_maze: bool = False) -> bool:
+def supports(cfg, allow_normalized: bool = False, allow_maze: bool = False,
+             allow_goal_horizon: bool = False) -> bool:
     """True if the config is in this engine's validated envelope.
 
     ``allow_normalized``: the policy-in-kernel engine (fast_policy.py)
@@ -69,6 +72,11 @@ def supports(cfg, allow_normalized: bool = False, allow_maze: bool = False) -> b
     geometry, competition sparse cost, collision/completion done flags,
     per-motor white-noise action disturbance, and per-step uniform dynamics
     force — all in-kernel.
+
+    ``allow_goal_horizon``: the policy-in-kernel engine evaluates the
+    goal-horizon observation extension (benchmark_env.py:406-420) in-kernel
+    from the closed-form trajectory; the constant-action engine never
+    consumes obs, so the flag only matters for fast_policy.
     """
     from safe_control_gym_tpu.envs.quadrotor import QuadType
 
@@ -128,7 +136,8 @@ def supports(cfg, allow_normalized: bool = False, allow_maze: bool = False) -> b
         and (cfg.task == "stabilization"
              or (cfg.task == "traj_tracking"
                  and ti.get("trajectory_type") in ("figure8", "circle", "square")))
-        and int(cfg.obs_goal_horizon) == 0
+        and (int(cfg.obs_goal_horizon) == 0
+             or (allow_goal_horizon and cfg.cost == "rl_reward"))
         and obs_dist_ok
         and act_dist_ok
         and (impulse_ok or uniform_ok)
@@ -174,6 +183,61 @@ def make_draw(p, seed_ref, it):
         return h - jnp.floor(h)
 
     return draw
+
+
+def eval_goal(p, step_f):
+    """Closed-form goal reference at control-step tile ``step_f``: the
+    _NX goal rows (static goal for stabilization, analytic planar curve +
+    projection for tracking — benchmark_env.py:124-170 generators evaluated
+    in-kernel instead of gathered from a table).  Shared by the reward path
+    (step_env_core) and the goal-horizon observation extension
+    (fast_policy._obs_rows)."""
+    if p["task"] == "stab":
+        return [jnp.full_like(step_f, v) for v in p["x_goal"]]
+    t = step_f * p["ctrl_dt"]
+    w = p["traj_w"]
+    sc = p["traj_scale"]
+    if p["traj_type"] == "figure8":
+        sw, cw = jnp.sin(w * t), jnp.cos(w * t)
+        a_p, b_p = sc * sw, sc * sw * cw
+        a_v, b_v = sc * w * cw, sc * w * (cw * cw - sw * sw)
+    elif p["traj_type"] == "circle":
+        sw, cw = jnp.sin(w * t), jnp.cos(w * t)
+        a_p, b_p = sc * cw, sc * sw
+        a_v, b_v = -sc * w * sw, sc * w * cw
+    else:  # square: piecewise-linear perimeter (benchmark_env.py:625-674)
+        period = p["traj_period"]
+        seg_period = period / 4.0
+        speed = sc / seg_period
+        cyc = t - period * jnp.floor(t / period)
+        seg = jnp.floor(cyc / seg_period)  # 0..3 float tile
+        seg_pos = speed * (cyc - seg * seg_period)
+        is0, is1 = seg < 0.5, jnp.abs(seg - 1.0) < 0.5
+        is2 = jnp.abs(seg - 2.0) < 0.5
+        zt = jnp.zeros_like(t)
+        # Segments: up, left, down, right.
+        a_p = jnp.where(is0, zt, jnp.where(is1, -seg_pos,
+              jnp.where(is2, -sc + zt, -sc + seg_pos)))
+        b_p = jnp.where(is0, seg_pos, jnp.where(is1, sc + zt,
+              jnp.where(is2, sc - seg_pos, zt)))
+        a_v = jnp.where(is0, zt, jnp.where(is1, -speed + zt,
+              jnp.where(is2, zt, speed + zt)))
+        b_v = jnp.where(is0, speed + zt, jnp.where(is1, zt,
+              jnp.where(is2, -speed + zt, zt)))
+    zero = jnp.zeros_like(t)
+    goal = [zero] * _NX
+    p3 = [zero, zero, zero]
+    v3 = [zero, zero, zero]
+    ia, ib = p["plane_idx"]
+    p3[ia] = a_p + p["plane_off"][0]
+    p3[ib] = b_p + p["plane_off"][1]
+    v3[ia] = a_v
+    v3[ib] = b_v
+    M = p["proj"]  # (3, 4) affine rows
+    for k in range(3):
+        goal[2 * k] = M[k][0] * p3[0] + M[k][1] * p3[1] + M[k][2] * p3[2] + M[k][3]
+        goal[2 * k + 1] = M[k][0] * v3[0] + M[k][1] * v3[1] + M[k][2] * v3[2] + M[k][3]
+    return goal
 
 
 def step_env_core(p, carry, thrust_rows, it, draw):
@@ -270,57 +334,7 @@ def step_env_core(p, carry, thrust_rows, it, draw):
             )
 
     # -- goal reference (closed-form planar curve or static goal) -----------
-    goal = [None] * _NX
-    if p["task"] == "stab":
-        for k in range(_NX):
-            goal[k] = p["x_goal"][k]
-    else:
-        t = step_f * p["ctrl_dt"]
-        w = p["traj_w"]
-        sc = p["traj_scale"]
-        if p["traj_type"] == "figure8":
-            sw, cw = jnp.sin(w * t), jnp.cos(w * t)
-            a_p, b_p = sc * sw, sc * sw * cw
-            a_v, b_v = sc * w * cw, sc * w * (cw * cw - sw * sw)
-        elif p["traj_type"] == "circle":
-            sw, cw = jnp.sin(w * t), jnp.cos(w * t)
-            a_p, b_p = sc * cw, sc * sw
-            a_v, b_v = -sc * w * sw, sc * w * cw
-        else:  # square: piecewise-linear perimeter (benchmark_env.py:625-674)
-            period = p["traj_period"]
-            seg_period = period / 4.0
-            speed = sc / seg_period
-            cyc = t - period * jnp.floor(t / period)
-            seg = jnp.floor(cyc / seg_period)  # 0..3 float tile
-            seg_pos = speed * (cyc - seg * seg_period)
-            is0, is1 = seg < 0.5, jnp.abs(seg - 1.0) < 0.5
-            is2 = jnp.abs(seg - 2.0) < 0.5
-            zt = jnp.zeros_like(t)
-            # Segments: up, left, down, right.
-            a_p = jnp.where(is0, zt, jnp.where(is1, -seg_pos,
-                  jnp.where(is2, -sc + zt, -sc + seg_pos)))
-            b_p = jnp.where(is0, seg_pos, jnp.where(is1, sc + zt,
-                  jnp.where(is2, sc - seg_pos, zt)))
-            a_v = jnp.where(is0, zt, jnp.where(is1, -speed + zt,
-                  jnp.where(is2, zt, speed + zt)))
-            b_v = jnp.where(is0, speed + zt, jnp.where(is1, zt,
-                  jnp.where(is2, -speed + zt, zt)))
-        zero = jnp.zeros_like(t)
-        p3 = [zero, zero, zero]
-        v3 = [zero, zero, zero]
-        ia, ib = p["plane_idx"]
-        p3[ia] = a_p + p["plane_off"][0]
-        p3[ib] = b_p + p["plane_off"][1]
-        v3[ia] = a_v
-        v3[ib] = b_v
-        M = p["proj"]  # (3, 4) affine rows
-        for k in range(3):
-            gp = M[k][0] * p3[0] + M[k][1] * p3[1] + M[k][2] * p3[2] + M[k][3]
-            gv = M[k][0] * v3[0] + M[k][1] * v3[1] + M[k][2] * v3[2] + M[k][3]
-            goal[2 * k] = gp
-            goal[2 * k + 1] = gv
-        for k in range(6, _NX):
-            goal[k] = zero
+    goal = eval_goal(p, step_f)
 
     # -- maze geometry (quadrotor.py:1029-1133; envs/gates.py math) ---------
     zero_t = jnp.zeros_like(step_f)
@@ -536,7 +550,8 @@ def _rollout_kernel(seed_ref, act_ref, st_ref, out_ref, *, p):
 
 def build_engine_params(env, steps_per_call: int, interpret: bool,
                         allow_normalized: bool = False,
-                        allow_maze: bool = False) -> dict:
+                        allow_maze: bool = False,
+                        allow_goal_horizon: bool = False) -> dict:
     """Static kernel-parameter dict from an env config (shared by the
     constant-action engine below and the policy-in-kernel engine in
     fast_policy.py)."""
@@ -545,7 +560,8 @@ def build_engine_params(env, steps_per_call: int, interpret: bool,
 
     cfg = env.config
     assert supports(cfg, allow_normalized=allow_normalized,
-                    allow_maze=allow_maze), \
+                    allow_maze=allow_maze,
+                    allow_goal_horizon=allow_goal_horizon), \
         "config outside the fast-engine envelope"
 
     ti = {**Q._DEFAULT_TASK_INFO, **(cfg.task_info or {})}
@@ -687,6 +703,14 @@ def build_engine_params(env, steps_per_call: int, interpret: bool,
         # quadrotor._reset_core makes, so fast-vs-general trajectories are
         # bitwise comparable across episode boundaries.
         unified_prng=True,
+        # Goal-horizon observation extension (benchmark_env.py:406-420):
+        # mul extra goal blocks appended to the policy input in-kernel
+        # (fast_policy.py); 1 = no extension.
+        obs_goal_horizon=int(cfg.obs_goal_horizon),
+        obs_mul=(
+            ((1 + int(cfg.obs_goal_horizon)) if cfg.task == "traj_tracking" else 2)
+            if (cfg.cost == "rl_reward" and int(cfg.obs_goal_horizon) > 0) else 1
+        ),
     )
 
     # -- competition maze (BASELINE config 5; quadrotor.py:1029-1133) -------

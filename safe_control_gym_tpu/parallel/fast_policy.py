@@ -50,6 +50,7 @@ from safe_control_gym_tpu.parallel.fast_env import (
     _R_STEP,
     _bits_to_unit,
     build_engine_params,
+    eval_goal,
     make_draw,
     reset_rows,
     step_env_core,
@@ -57,7 +58,11 @@ from safe_control_gym_tpu.parallel.fast_env import (
     total_rows,
 )
 
-# Trajectory-record row layout (per step, each row an (8, L) tile).
+# Trajectory-record row layout for the default 12-dim obs (per step, each
+# row an (8, L) tile).  With a goal-horizon obs extension the obs/terminal
+# blocks widen to D = 12 * obs_mul and the layout is computed per instance
+# (FastPolicyRollout._layout): obs D | act 4 | rew/done/trunc/v/logp |
+# term-obs D -> 2D + 9 rows.
 TRAJ_ROWS = 33
 _T_OBS = slice(0, 12)
 _T_ACT = slice(12, 16)
@@ -86,16 +91,34 @@ def _policy_rollout_kernel(
 
     act_fn = jnp.tanh if p["mlp_act"] == "tanh" else \
         (lambda z: jnp.maximum(z, 0.0))
+    D = p["obs_dim"]
 
-    def forward(s):
-        """Dual actor+critic forward on the current state rows.
+    def forward(obs_rows):
+        """Dual actor+critic forward on the current observation rows
+        (state + optional goal-horizon extension).
 
         Returns (mean (4, BB), value (1, BB))."""
-        X = jnp.stack(s, 0).reshape(_NX, BB)
+        X = jnp.stack(obs_rows, 0).reshape(D, BB)
         h = act_fn(jnp.dot(w1, X, preferred_element_type=jnp.float32) + b1)
         h = act_fn(jnp.dot(w2, h, preferred_element_type=jnp.float32) + b2)
         O = jnp.dot(w3, h, preferred_element_type=jnp.float32) + b3  # (8, BB)
         return O[0:4], O[4:5]
+
+    def goal_ext_rows(step_tile, first_idx_offset):
+        """Goal-horizon extension rows for an obs produced at control step
+        ``step_tile`` (benchmark_env.py:406-420): stabilization appends the
+        static goal once; tracking appends the next ``obs_goal_horizon``
+        reference states, indices clipped to the end of the table."""
+        if p.get("obs_mul", 1) <= 1:
+            return []
+        if p["task"] == "stab":
+            return [jnp.full_like(step_tile, v) for v in p["x_goal"]]
+        rows = []
+        tmax = p["max_steps"] - 1.0
+        for i in range(p["obs_goal_horizon"]):
+            idx = jnp.minimum(step_tile + (first_idx_offset + i), tmax)
+            rows += eval_goal(p, idx)
+        return rows
 
     def body(it, carry):
         draw = make_draw(p, seed_ref, it)
@@ -115,7 +138,10 @@ def _policy_rollout_kernel(
             )
 
         # -- policy + value forward -----------------------------------------
-        mean, value = forward(s_pre)
+        # Obs = (noisy) state + goal-horizon extension at next_step =
+        # ctrl_step + 1 (quadrotor._obs -> _extend_obs); goals stay clean.
+        obs_rows = list(s_pre) + goal_ext_rows(carry[_R_STEP], 1.0)
+        mean, value = forward(obs_rows)
 
         # -- Gaussian sampling (Box-Muller on core-PRNG bits) ---------------
         u = draw(8, 7.0)
@@ -163,11 +189,17 @@ def _policy_rollout_kernel(
                 scratch_ref.at[slot], traj_ref.at[it - 2], sem_ref.at[slot]
             ).wait()
 
+        # Terminal obs (masked to truncation steps): post-step state + goal
+        # extension at the INCREMENTED step's next index (new ctrl_step + 1
+        # = step + 2 — quadrotor.py:1031 obs of new_state).
+        term_rows = [si * truncf for si in s_post] + [
+            g * truncf for g in goal_ext_rows(carry[_R_STEP], 2.0)
+        ]
         record = jnp.stack(
-            list(s_pre)
+            obs_rows
             + act_rows
             + [rew, donef, truncf, v_tile, logp_tile]
-            + [si * truncf for si in s_post],  # terminal obs, masked
+            + term_rows,
             axis=0,
         )
         scratch_ref[slot] = record
@@ -204,11 +236,21 @@ class FastPolicyRollout:
         self._auto_seed = 1
         self.params = build_engine_params(
             env, steps_per_call, interpret, allow_normalized=True,
-            allow_maze=True,
+            allow_maze=True, allow_goal_horizon=True,
         )
         self.params["mlp_act"] = mlp_act
         self.params["_sub"] = sub
         self.params["_lanes"] = self.lanes
+        # Observation width incl. the goal-horizon extension; the trajectory
+        # record widens with it (obs D | act 4 | 5 scalars | term-obs D).
+        self.obs_dim = _NX * self.params["obs_mul"]
+        self.params["obs_dim"] = self.obs_dim
+        self.traj_rows = 2 * self.obs_dim + 9
+        self._t_obs = slice(0, self.obs_dim)
+        self._t_act = slice(self.obs_dim, self.obs_dim + 4)
+        (self._t_rew, self._t_done, self._t_trunc, self._t_v,
+         self._t_logp) = range(self.obs_dim + 4, self.obs_dim + 9)
+        self._t_termobs = slice(self.obs_dim + 9, self.traj_rows)
         self.n_rows = total_rows(self.params)
         p = dict(self.params)
         kern = functools.partial(_policy_rollout_kernel, p=p)
@@ -233,10 +275,10 @@ class FastPolicyRollout:
                 out_specs=[spec(self.n_rows), pl.BlockSpec(memory_space=pl.ANY)],
                 out_shape=[
                     jax.ShapeDtypeStruct((self.n_rows, sub, L), jnp.float32),
-                    jax.ShapeDtypeStruct((steps_per_call, TRAJ_ROWS, sub, L), jnp.float32),
+                    jax.ShapeDtypeStruct((steps_per_call, self.traj_rows, sub, L), jnp.float32),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((2, TRAJ_ROWS, sub, L), jnp.float32),
+                    pltpu.VMEM((2, self.traj_rows, sub, L), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
                 interpret=interpret,
@@ -291,31 +333,52 @@ class FastPolicyRollout:
 
     # -- trajectory unpacking ------------------------------------------------
     def unpack_traj(self, traj):
-        """(T, 33, 8, L) record -> PPO field dict with (T, B, ...) layout.
+        """(T, traj_rows, 8, L) record -> PPO field dict with (T, B, ...)
+        layout.
 
         Pure jnp — runs inside the caller's jit; one transpose per field.
         """
         T = traj.shape[0]
-        flat = traj.reshape(T, TRAJ_ROWS, self.B)  # (T, rows, B)
+        flat = traj.reshape(T, self.traj_rows, self.B)  # (T, rows, B)
 
         def mat(sl):
             return jnp.moveaxis(flat[:, sl], 1, 2)  # (T, B, d)
 
         return {
-            "obs": mat(_T_OBS),
-            "act": mat(_T_ACT),
-            "rew": flat[:, _T_REW],
-            "done": flat[:, _T_DONE],
-            "mask": 1.0 - flat[:, _T_DONE],
-            "trunc": flat[:, _T_TRUNC],
-            "v": flat[:, _T_V],
-            "logp": flat[:, _T_LOGP],
-            "term_obs": mat(_T_TERMOBS),
+            "obs": mat(self._t_obs),
+            "act": mat(self._t_act),
+            "rew": flat[:, self._t_rew],
+            "done": flat[:, self._t_done],
+            "mask": 1.0 - flat[:, self._t_done],
+            "trunc": flat[:, self._t_trunc],
+            "v": flat[:, self._t_v],
+            "logp": flat[:, self._t_logp],
+            "term_obs": mat(self._t_termobs),
         }
 
     def states(self, rows):
         """(B, 12) state matrix from packed rows (jnp, jit-safe)."""
         return jnp.moveaxis(rows[:_NX].reshape(_NX, self.B), 0, 1)
+
+    def observe(self, rows):
+        """(B, obs_dim) observation matrix from packed rows (jnp, jit-safe):
+        state + goal-horizon extension at next_step = ctrl_step + 1, gathered
+        from the env's X_GOAL table exactly like the general engine
+        (quadrotor._extend_obs, benchmark_env.py:406-420).  Used for the GAE
+        bootstrap value of the post-rollout state."""
+        x = self.states(rows)
+        if self.params.get("obs_mul", 1) <= 1:
+            return x
+        xg = jnp.asarray(np.asarray(self.env.x_goal, np.float32))
+        if self.params["task"] == "stab":
+            ext = jnp.broadcast_to(xg.reshape(-1), (self.B, _NX))
+            return jnp.concatenate([x, ext], axis=-1)
+        steps = rows[_R_STEP].reshape(self.B).astype(jnp.int32)  # ctrl_step
+        h = self.params["obs_goal_horizon"]
+        idx = jnp.clip(steps[:, None] + 1 + jnp.arange(h)[None, :],
+                       0, xg.shape[0] - 1)  # (B, h)
+        ext = xg[idx].reshape(self.B, h * _NX)
+        return jnp.concatenate([x, ext], axis=-1)
 
     def run(self, rows, weights, seed=None):
         """One dispatch = T policy-driven env steps.

@@ -149,3 +149,98 @@ def test_obs_noise_feeds_policy_and_record():
         np.asarray(ppo._value(ppo.state.ac, jnp.asarray(d["obs"][0]))),
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_goal_horizon_obs_in_kernel():
+    """Goal-horizon obs extension (benchmark_env.py:406-420) evaluated
+    in-kernel: the recorded obs carry the next-h reference states exactly as
+    the general engine's X_GOAL table gives them, the in-kernel value/logp
+    are computed on the extended obs, and observe() reproduces the
+    post-rollout extended obs for the GAE bootstrap."""
+    h = 3
+    env = make_quadrotor(QuadrotorConfig(
+        quad_type=3, ctrl_freq=60, pyb_freq=240, episode_len_sec=2,
+        task="traj_tracking",
+        task_info={"trajectory_type": "figure8", "trajectory_plane": "xy",
+                   "trajectory_position_offset": [0, 0], "trajectory_scale": 1.0,
+                   "num_cycles": 1, "proj_point": [0, 0, 0.5], "proj_normal": [0, 1, 1]},
+        cost="rl_reward", normalized_rl_action_space=True,
+        obs_goal_horizon=h,
+    ))
+    assert env.spaces.obs_dim == 12 * (1 + h)
+    fp = FastPolicyRollout(env, B, 4, interpret=True)
+    assert fp.obs_dim == 12 * (1 + h)
+    ppo = PPO(env, seed=0, rollout_batch_size=B, rollout_steps=4)
+    w = fp.pack_weights(ppo.state.ac.actor_params, ppo.state.ac.critic_params,
+                        ppo.state.ac.logstd)
+    rows = fp.reset(0)
+    new_rows, traj = fp.run(rows, w, seed=3)
+    d = fp.unpack_traj(traj)
+    assert d["obs"].shape == (4, B, 48) and d["term_obs"].shape == (4, B, 48)
+
+    # Goal blocks at step t are the table rows clip(t+1 .. t+h) — every env
+    # starts at ctrl_step 0 and none terminates within 4 steps.
+    xg = np.asarray(env.x_goal, np.float32)
+    for t in range(4):
+        for i in range(h):
+            np.testing.assert_allclose(
+                np.asarray(d["obs"][t, :, 12 * (1 + i):12 * (2 + i)]),
+                np.broadcast_to(xg[min(t + 1 + i, xg.shape[0] - 1)], (B, 12)),
+                rtol=1e-5, atol=1e-6,
+            )
+    # Value/logp computed on the extended obs.
+    np.testing.assert_allclose(
+        np.asarray(d["v"][0]),
+        np.asarray(ppo._value(ppo.state.ac, jnp.asarray(d["obs"][0]))),
+        rtol=2e-4, atol=2e-4,
+    )
+    # observe(): post-rollout extended obs (steps advanced to 4).
+    full_obs = np.asarray(fp.observe(new_rows))
+    assert full_obs.shape == (B, 48)
+    np.testing.assert_allclose(full_obs[:, :12], np.asarray(fp.states(new_rows)),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        full_obs[:, 12:24], np.broadcast_to(xg[5], (B, 12)), rtol=1e-5, atol=1e-6)
+
+
+def test_goal_horizon_ppo_trains_and_stab_variant():
+    """PPO with use_fast_rollout trains on a goal-horizon config (fast
+    update auto-falls back to the XLA path), and the stabilization variant
+    appends the static goal once (mul=2)."""
+    env = make_quadrotor(QuadrotorConfig(
+        quad_type=3, ctrl_freq=60, pyb_freq=240, episode_len_sec=2,
+        task="traj_tracking",
+        task_info={"trajectory_type": "figure8", "trajectory_plane": "xy",
+                   "trajectory_position_offset": [0, 0], "trajectory_scale": 1.0,
+                   "num_cycles": 1, "proj_point": [0, 0, 0.5], "proj_normal": [0, 1, 1]},
+        cost="rl_reward", normalized_rl_action_space=True,
+        obs_goal_horizon=2,
+    ))
+    ppo = PPO(env, seed=0, rollout_batch_size=B, rollout_steps=4,
+              opt_epochs=2, mini_batch_size=B * 2,
+              use_fast_rollout=True, fast_interpret=True)
+    assert ppo._fu is None  # fast-update kernel is 12-obs specialized
+    s, m = ppo._train_step(ppo.state)
+    for k in ("policy_loss", "value_loss", "approx_kl"):
+        assert np.isfinite(float(jax.device_get(m[k]))), k
+
+    env_s = make_quadrotor(QuadrotorConfig(
+        quad_type=3, ctrl_freq=60, pyb_freq=240, episode_len_sec=2,
+        task="stabilization",
+        task_info={"stabilization_goal": [0, 0, 1],
+                   "stabilization_goal_tolerance": 0.05},
+        cost="rl_reward", normalized_rl_action_space=True,
+        obs_goal_horizon=2,
+    ))
+    assert env_s.spaces.obs_dim == 24
+    fp = FastPolicyRollout(env_s, B, 2, interpret=True)
+    assert fp.obs_dim == 24
+    ppo_s = PPO(env_s, seed=0, rollout_batch_size=B, rollout_steps=2)
+    w = fp.pack_weights(ppo_s.state.ac.actor_params, ppo_s.state.ac.critic_params,
+                        ppo_s.state.ac.logstd)
+    _, traj = fp.run(fp.reset(0), w, seed=1)
+    d = fp.unpack_traj(traj)
+    xg = np.asarray(env_s.x_goal, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(d["obs"][0, :, 12:]), np.broadcast_to(xg, (B, 12)),
+        rtol=1e-6, atol=1e-7)
