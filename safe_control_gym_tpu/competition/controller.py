@@ -17,7 +17,7 @@ from safe_control_gym_tpu.competition.planning import (
     CylinderObstacle,
     Limits,
     State,
-    plan_time_optimal_trajectory_through_gates,
+    plan_with_obstacle_uncertainty,
 )
 from safe_control_gym_tpu.competition.stage_actions import (
     StageActionFinished,
@@ -90,6 +90,16 @@ class Controller:
             CylinderObstacle(np.array([o[0], o[1], 0.0]), 0.05 + MARGIN, 1.05 + 0.1)
             for o in obstacles
         ]
+        # Standalone obstacles are never measured in flight (no sightings
+        # channel — the reference's gate_data covers gates only), and levels
+        # 2/3 randomize their poses by ±0.15 per axis, so a plan that
+        # merely clears the DP's pruning radius around the NOMINAL pose can
+        # thread within centimeters of the true cylinder.  Legs that clip
+        # the uncertainty disc get a detour via-point (insert_obstacle_
+        # detours); the DP's hard pruning stays at the tracking margin so
+        # feasibility is unchanged.
+        OBST_POSE_UNCERTAINTY = 0.15
+        self._obst_safe_r = 0.05 + MARGIN + OBST_POSE_UNCERTAINTY
         # Gate frame side posts as virtual obstacles so planned segments clear
         # the frames of gates they merely pass near (the fly-through gate's
         # aperture center is a graph waypoint, so its own posts are cleared
@@ -119,12 +129,14 @@ class Controller:
                 waypoints.append((gp, dir_angle))
                 waypoints.append((gp + 0.3 * normal, dir_angle))
                 prev = gp
-            self.trajectory = plan_time_optimal_trajectory_through_gates(
+            self.trajectory = plan_with_obstacle_uncertainty(
                 State(start, np.zeros(3)),
                 State(goal_pos, np.zeros(3)),
                 waypoints,
                 Limits(np.array([-4.0, -4.0, -3.0]), np.array([4.0, 4.0, 3.0])),
                 Limits(np.array([0.5, -0.3, -0.3]), np.array([2.0, 0.3, 0.3])),
+                obstacles_xy=[list(o)[:2] for o in obstacles],
+                r_safe=self._obst_safe_r,
                 obstacles=obs_models,
                 max_iterations=2,
                 num_cone_samples=2,

@@ -196,6 +196,133 @@ def _gate_rotation(yaw):
     return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
 
 
+def insert_obstacle_detours(start, goal, waypoints, obstacles_xy,
+                            r_safe: float, min_leg: float = 0.8):
+    """Weave lateral via-points into a gate-waypoint list so no straight leg
+    passes within ``r_safe`` (in xy) of an obstacle center.
+
+    Obstacle poses are only known NOMINALLY (levels 2/3 randomize them by
+    ±0.15 per axis and there is no in-flight sighting channel), so a plan
+    that merely satisfies the collision-pruned DP can thread within a few cm
+    of where the true cylinder actually spawned.  For each leg between
+    consecutive waypoints (including start -> first and last -> goal) whose
+    straight line clips the ``r_safe`` disc of an obstacle, this inserts a
+    via-point at the closest approach, pushed out radially to ``r_safe`` —
+    the DP then routes the leg around the uncertainty disc while its own
+    hard pruning (tracking-margin radius) keeps feasibility.
+
+    ``waypoints``: [(pos(3,), dir_angle)] as consumed by
+    :func:`plan_time_optimal_trajectory_through_gates`; ``obstacles_xy``:
+    (N, 2) nominal obstacle centers.  Legs shorter than ``min_leg`` (the
+    pre/center/post triple around a gate aperture) are left alone.  Returns
+    a new waypoint list.
+    """
+    obstacles_xy = np.asarray(obstacles_xy, float).reshape(-1, 2)
+    if not len(obstacles_xy) or not waypoints:
+        return list(waypoints)
+    pts = [np.asarray(start, float)] + [np.asarray(w[0], float) for w in waypoints] \
+        + [np.asarray(goal, float)]
+    out = []
+    for i in range(len(pts) - 1):
+        a, b = pts[i], pts[i + 1]
+        d = b[:2] - a[:2]
+        leg = float(np.linalg.norm(d))
+        detours = []
+        if leg > min_leg:
+            dir_angle = float(np.arctan2(d[1], d[0]))
+            for o in obstacles_xy:
+                t = float(np.dot(o - a[:2], d) / (leg * leg))
+                t = min(max(t, 0.1), 0.9)  # keep vias off the waypoints
+                c = a + t * (b - a)
+                radial = c[:2] - o
+                dist = float(np.linalg.norm(radial))
+                if dist >= r_safe:
+                    continue
+                if dist < 1e-6:  # dead-on: push perpendicular to the leg
+                    radial = np.array([-d[1], d[0]]) / leg
+                    dist = 1.0
+                via_xy = o + radial / dist * r_safe
+                detours.append((t, (np.array([via_xy[0], via_xy[1], c[2]]),
+                                    dir_angle)))
+        if i > 0:
+            out.append(waypoints[i - 1])
+        out.extend(w for _, w in sorted(detours, key=lambda x: x[0]))
+    return out
+
+
+def plan_with_obstacle_uncertainty(
+    initial_state: State,
+    final_state: State,
+    waypoints,
+    acceleration_limits: Limits,
+    velocity_limits: Limits,
+    obstacles_xy,
+    r_safe: float,
+    max_detour_rounds: int = 3,
+    **plan_kwargs,
+):
+    """Plan through gate waypoints, then push the PLANNED path out of the
+    obstacle-uncertainty discs and re-plan until clear.
+
+    ``insert_obstacle_detours`` only checks straight chords; the chosen PMM
+    segments curve with the sampled crossing velocities and can bow back
+    inside the disc a chord clears.  Each round samples the actual planned
+    trajectory, finds the deepest xy incursion into any ``r_safe`` disc
+    around a nominal obstacle center, inserts a via-point there (pushed out
+    radially to ``r_safe``), and re-plans.  The DP's own hard pruning
+    (tracking-margin cylinders in ``plan_kwargs['obstacles']``) is
+    unchanged, so feasibility is preserved.
+    """
+    obstacles_xy = np.asarray(obstacles_xy, float).reshape(-1, 2)
+    wps = insert_obstacle_detours(
+        initial_state.position, final_state.position, waypoints,
+        obstacles_xy, r_safe,
+    )
+    traj = None
+    for _ in range(max_detour_rounds + 1):
+        traj = plan_time_optimal_trajectory_through_gates(
+            initial_state, final_state, wps,
+            acceleration_limits, velocity_limits, **plan_kwargs,
+        )
+        if traj is None or not len(obstacles_xy):
+            return traj
+        ts = np.linspace(0.0, traj.duration, 300)
+        pts = np.array([np.asarray(traj.position(t)).reshape(-1) for t in ts])
+        d = np.linalg.norm(
+            pts[:, None, :2] - obstacles_xy[None, :, :], axis=-1
+        )  # (T, N)
+        depth = r_safe - d.min()
+        if depth <= 1e-3:
+            return traj
+        ti, oi = np.unravel_index(np.argmin(d), d.shape)
+        c = pts[ti]
+        o = obstacles_xy[oi]
+        radial = c[:2] - o
+        dist = float(np.linalg.norm(radial))
+        if dist < 1e-6:
+            radial, dist = np.array([1.0, 0.0]), 1.0
+        via = np.array([*(o + radial / dist * r_safe), c[2]])
+        # Insert between the polyline leg nearest to the incursion point.
+        poly = [np.asarray(initial_state.position, float)] \
+            + [np.asarray(w[0], float) for w in wps] \
+            + [np.asarray(final_state.position, float)]
+        best_i, best_d = 0, np.inf
+        for i in range(len(poly) - 1):
+            a, b = poly[i][:2], poly[i + 1][:2]
+            ab = b - a
+            L2 = float(ab @ ab)
+            t = 0.0 if L2 < 1e-12 else float(np.clip((c[:2] - a) @ ab / L2, 0, 1))
+            dd = float(np.linalg.norm(a + t * ab - c[:2]))
+            if dd < best_d:
+                best_i, best_d = i, dd
+        dir_angle = float(np.arctan2(
+            poly[best_i + 1][1] - poly[best_i][1],
+            poly[best_i + 1][0] - poly[best_i][0]))
+        wps = list(wps)
+        wps.insert(best_i, (via, dir_angle))
+    return traj
+
+
 def plan_time_optimal_trajectory_through_gates(
     initial_state: State,
     final_state: State,

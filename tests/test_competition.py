@@ -59,6 +59,60 @@ def test_planner_through_gates_avoids_obstacles():
     assert obstacle.min_distance(ps[:, :3]) > 0.0
 
 
+def test_obstacle_uncertainty_plan_clears_discs():
+    """Obstacle poses are only known nominally (levels 2/3 randomize them
+    ±0.15 with no in-flight sighting channel): the uncertainty-aware planner
+    must keep the PLANNED path out of the inflated discs, not merely satisfy
+    the DP's hard tracking-margin pruning (planning.plan_with_obstacle_
+    uncertainty; reference analogue: MPCC obstacle padding in
+    competition/mpcc_controller.py)."""
+    from safe_control_gym_tpu.competition.planning import (
+        insert_obstacle_detours,
+        plan_with_obstacle_uncertainty,
+    )
+
+    start = np.array([0.0, 0.0, 1.0])
+    goal = np.array([4.0, 0.0, 1.0])
+    wps = [(np.array([2.0, 0.0, 1.0]), 0.0)]
+    # Both legs pass essentially dead-through an obstacle's nominal center.
+    obstacles_xy = np.array([[1.0, 0.05], [3.0, -0.08]])
+    r_safe = 0.45
+
+    out = insert_obstacle_detours(start, goal, wps, obstacles_xy, r_safe)
+    assert len(out) == len(wps) + 2  # one via per clipped leg
+    for via, _ in out:
+        d = np.linalg.norm(obstacles_xy - np.asarray(via)[:2], axis=-1).min()
+        assert d >= r_safe - 1e-6
+
+    traj = plan_with_obstacle_uncertainty(
+        State(start, np.zeros(3)),
+        State(goal, np.zeros(3)),
+        wps,
+        Limits(np.array([-3.0, -3.0, -3.0]), np.array([3.0, 3.0, 3.0])),
+        Limits(np.array([0.5, -0.5, -0.5]), np.array([2.0, 0.5, 0.5])),
+        obstacles_xy=obstacles_xy,
+        r_safe=r_safe,
+        obstacles=[
+            CylinderObstacle(np.array([o[0], o[1], 0.0]), 0.20, 1.15)
+            for o in obstacles_xy
+        ],
+        max_iterations=2,
+        num_cone_samples=2,
+    )
+    assert traj is not None
+    ts, ps, _ = traj.sample(300)
+    d = np.linalg.norm(
+        ps[:, None, :2] - obstacles_xy[None, :, :], axis=-1
+    )
+    # The planned path (curved PMM segments, not just chords) clears the
+    # uncertainty discs; small residual tolerance matches the re-plan
+    # loop's convergence threshold.
+    assert d.min() > r_safe - 0.05, d.min()
+    # And it still reaches the gate waypoint and the goal.
+    assert np.linalg.norm(ps - wps[0][0], axis=-1).min() < 0.1
+    np.testing.assert_allclose(ps[-1], goal, atol=1e-2)
+
+
 def test_level0_sim_only_completes_course():
     """End-to-end level0 episode in the software-PID mode: all 4 gates,
     no collisions, positive competition reward."""
