@@ -337,11 +337,26 @@ def main():
     jax.device_get(carry.obs)
     dt = time.perf_counter() - t0
     general = iters * STEPS_PER_CALL * B / dt
-    fast = bench_fast()
-    policy_loop = bench_policy_in_loop()
-    maze = bench_maze()
-    rl_train = bench_rl_train()
-    cartpole = bench_cartpole()
+
+    def _safe(fn):
+        """One failing engine bench must not lose the whole artifact: the
+        driver records this script's single JSON line, so degrade that
+        engine's field to None and keep going."""
+        import sys
+        import traceback
+
+        try:
+            return fn()
+        except Exception:
+            print(f"bench {fn.__name__} failed:", file=sys.stderr)
+            traceback.print_exc()
+            return None
+
+    fast = _safe(bench_fast)
+    policy_loop = _safe(bench_policy_in_loop)
+    maze = _safe(bench_maze)
+    rl_train = _safe(bench_rl_train)
+    cartpole = _safe(bench_cartpole)
     headline = fast if fast is not None else general
     record = {
         "metric": "env_steps_per_sec_per_chip_quad3d_4096",
