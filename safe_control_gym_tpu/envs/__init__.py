@@ -10,6 +10,7 @@ parallelism are applied outside via vmap / shard_map (see
 
 from safe_control_gym_tpu.envs.benchmark import Task, Cost, EnvSpaces, FnEnv
 from safe_control_gym_tpu.envs.cartpole import make_cartpole, CartPoleConfig
+from safe_control_gym_tpu.envs.gym_adapter import GymEnv, make_gym_env
 from safe_control_gym_tpu.envs.quadrotor import make_quadrotor, QuadrotorConfig, QuadType
 
 __all__ = [
@@ -17,8 +18,10 @@ __all__ = [
     "Cost",
     "EnvSpaces",
     "FnEnv",
+    "GymEnv",
     "make_cartpole",
     "CartPoleConfig",
+    "make_gym_env",
     "make_quadrotor",
     "QuadrotorConfig",
     "QuadType",
