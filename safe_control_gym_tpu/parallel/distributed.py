@@ -126,7 +126,7 @@ def sharded_init_fn(
     global trajectory set is bitwise-identical across any (host, chip)
     factorization, and to the single-device path.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     axis_names = tuple(axis_names)
     n_shards = math.prod(mesh.shape[a] for a in axis_names)
@@ -154,7 +154,7 @@ def sharded_init_fn(
     )
     return jax.jit(
         shard_map(local_init, mesh=mesh, in_specs=P(), out_specs=spec,
-                  check_rep=False)
+                  check_vma=False)
     )
 
 

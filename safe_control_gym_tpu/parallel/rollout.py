@@ -145,7 +145,7 @@ def sharded_rollout_fn(
     episode statistics are psum-reduced over ICI.  Returns a jitted
     ``(carry) -> (carry, global_stats)``.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     carry_spec = RolloutCarry(
         env_state=P(axis_name), obs=P(axis_name), policy_state=P(),
@@ -163,6 +163,6 @@ def sharded_rollout_fn(
         mesh=mesh,
         in_specs=(carry_spec,),
         out_specs=(carry_spec, P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(run, donate_argnums=0)
