@@ -162,7 +162,7 @@ def run(
         elapsed = time.time() - t_start
         if viewer is not None:
             saved = viewer.close(save_path=None if viewer.interactive
-                                 else f"gui_episode{ep}.gif", fps=ctrl_freq // gui_every)
+                                 else f"gui_episode{ep}.gif", fps=max(1, ctrl_freq // gui_every))
             if saved and verbose:
                 print(f"episode {ep}: wrote {saved}")
         ctrl.interEpisodeLearn()

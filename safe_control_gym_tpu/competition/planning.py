@@ -279,7 +279,7 @@ def plan_with_obstacle_uncertainty(
         obstacles_xy, r_safe,
     )
     traj = None
-    for _ in range(max_detour_rounds + 1):
+    for round_i in range(max_detour_rounds + 1):
         traj = plan_time_optimal_trajectory_through_gates(
             initial_state, final_state, wps,
             acceleration_limits, velocity_limits, **plan_kwargs,
@@ -293,6 +293,10 @@ def plan_with_obstacle_uncertainty(
         )  # (T, N)
         depth = r_safe - d.min()
         if depth <= 1e-3:
+            return traj
+        if round_i == max_detour_rounds:
+            # No planning round left to consume a new via-point; inserting
+            # one here would never be replanned.  Return the best-so-far.
             return traj
         ti, oi = np.unravel_index(np.argmin(d), d.shape)
         c = pts[ti]

@@ -214,12 +214,17 @@ class PPO(BaseController):
         self._fu = None
         use_fu = cfg.use_fast_update
         if use_fu == "auto":
+            mb = cfg.mini_batch_size
             use_fu = (
                 (jax.default_backend() == "tpu" or self._fast_interpret)
                 and not cfg.use_clipped_value
+                and not cfg.fused_update  # explicit A/B request wins over auto
                 and cfg.activation in ("tanh", "relu")
                 and obs_dim == 12 and act_dim == 4
-                and cfg.mini_batch_size % 8 == 0
+                and mb % 8 == 0
+                # FastPPOUpdate chunks the minibatch at 4096 (VMEM limit);
+                # the minibatch must split into whole chunks.
+                and (mb <= 4096 or mb % 4096 == 0)
             )
         if use_fu:
             from safe_control_gym_tpu.parallel.fast_update import FastPPOUpdate

@@ -118,7 +118,7 @@ class CartPoleState(struct.PyTreeNode):
     key: jnp.ndarray
     ctrl_step: jnp.ndarray  # int32
     pyb_step: jnp.ndarray  # int32
-    env_seed: jnp.ndarray  # int32 24-bit counter-PRNG identity (ops/ctr_prng.py)
+    env_seed: jnp.ndarray  # int32 counter-PRNG identity (ops/ctr_prng.py)
     episode_idx: jnp.ndarray  # int32 episode counter for the reset stream
     pole_length: jnp.ndarray  # per-episode randomized physical params
     pole_mass: jnp.ndarray

@@ -281,3 +281,60 @@ def build_constraints(
         state_only_rows=np.asarray(state_v, dtype=bool),
         input_rows=np.asarray(input_v, dtype=bool),
     )
+
+
+def box_bounds_view(specs, nx: int, nu: int, spaces=None):
+    """Per-dim box bounds when ``specs`` is a pure box program, else None.
+
+    The Pallas whole-rollout engines count constraint violations in-kernel
+    with per-dimension bound comparisons; that is exact only when every spec
+    is a plain (default|bounded) box on ``state`` or ``input`` — non-strict,
+    with at most a subset ``active_dims`` filter.  Linear/quadratic/symmetric
+    forms, ``input_and_state`` coupling, and strict rows cannot be expressed
+    as an independent per-dim test, so this returns None and the engines fall
+    back to the general path (``supports()`` gates on it).
+
+    Returns ``(s_lo, s_hi, u_lo, u_hi)`` float arrays with bounds intersected
+    across specs and ``±BIG`` where unconstrained.  With ``spaces=None`` the
+    default-constraint bounds degrade to ``±BIG`` placeholders — callers that
+    only need a validity check (``supports()``) pass no spaces.
+    """
+    if not specs:
+        return None
+    s_lo, s_hi = np.full(nx, -BIG), np.full(nx, BIG)
+    u_lo, u_hi = np.full(nu, -BIG), np.full(nu, BIG)
+    for spec in specs:
+        form = spec.get("constraint_form")
+        var = spec.get("constrained_variable")
+        if form not in ("bounded_constraint", "default_constraint"):
+            return None
+        if var not in ("state", "input"):
+            return None
+        if spec.get("strict", False):
+            return None
+        dim = nx if var == "state" else nu
+        ad = spec.get("active_dims")
+        dims = np.arange(dim) if ad is None else np.atleast_1d(np.asarray(ad, int))
+        if dims.ndim != 1 or (dims < 0).any() or (dims >= dim).any():
+            return None
+        if form == "default_constraint":
+            if spaces is not None:
+                lo_def = np.asarray(
+                    spaces.state_low if var == "state" else spaces.action_low, float)
+                hi_def = np.asarray(
+                    spaces.state_high if var == "state" else spaces.action_high, float)
+            else:
+                lo_def, hi_def = np.full(dim, -BIG), np.full(dim, BIG)
+            lo = np.asarray(spec.get("lower_bounds", lo_def[dims]), float).ravel()
+            hi = np.asarray(spec.get("upper_bounds", hi_def[dims]), float).ravel()
+        else:
+            if "lower_bounds" not in spec or "upper_bounds" not in spec:
+                return None
+            lo = np.asarray(spec["lower_bounds"], float).ravel()
+            hi = np.asarray(spec["upper_bounds"], float).ravel()
+        if lo.size != dims.size or hi.size != dims.size:
+            return None
+        tgt_lo, tgt_hi = (s_lo, s_hi) if var == "state" else (u_lo, u_hi)
+        np.maximum.at(tgt_lo, dims, np.maximum(lo, -BIG))
+        np.minimum.at(tgt_hi, dims, np.minimum(hi, BIG))
+    return s_lo, s_hi, u_lo, u_hi

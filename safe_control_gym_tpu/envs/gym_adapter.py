@@ -96,8 +96,13 @@ class GymEnv:
     # -- gym surface --------------------------------------------------------
 
     def seed(self, seed=None):
-        """Reset the episode key stream (benchmark_env.py seed())."""
-        self._seed = 0 if seed is None else int(seed)
+        """Reset the episode key stream (benchmark_env.py seed()).
+
+        ``seed=None`` draws fresh OS entropy (gym semantics) rather than
+        silently pinning to 0."""
+        if seed is None:
+            seed = int(np.random.SeedSequence().entropy % (2 ** 31))
+        self._seed = int(seed)
         self._base_key = jax.random.key(self._seed)
         self._episodes = 0
         if hasattr(self, "action_space"):

@@ -212,7 +212,7 @@ class QuadState(struct.PyTreeNode):
     # Counter-based reset stream identity (ops/ctr_prng.py): reset draws are
     # pure functions of (env_seed, episode_idx, slot), shared bit-exactly
     # with the whole-rollout Pallas engine.
-    env_seed: jnp.ndarray  # int32, 24-bit
+    env_seed: jnp.ndarray  # int32 counter-PRNG identity (ops/ctr_prng.py)
     episode_idx: jnp.ndarray  # int32
     # Per-episode randomized physics (quadrotor.py:454-475).
     mass: jnp.ndarray

@@ -21,9 +21,12 @@ XLA, Mosaic, and Pallas interpret mode: int32 add/mul/xor and
 arithmetic-shift-plus-mask (emulating a logical shift without uint32
 bitcasts, which Mosaic restricts).
 
-``env_seed24`` is 24-bit so it round-trips exactly through the fast
-engine's float32 state rows.  It derives from the SAME per-env threefry
-key split the general engine has always used (vector.py:57-61), so reset
+``env_seed`` is a full 32-bit word carried through the fast engine's
+float32 state rows as a BIT PATTERN (same-width bitcast both ways), not a
+value cast — so it round-trips exactly without the 24-bit integer-in-f32
+limit (which at B=4096 envs gave a ~39% birthday chance of two envs
+sharing a reset stream).  It derives from the SAME per-env threefry key
+split the general engine has always used (vector.py:57-61), so reset
 streams remain independent of batch layout and bitwise-reproducible from
 the run key.
 """
@@ -39,7 +42,7 @@ _EP_GOLD = np.int32(np.uint32(0x85EBCA6B))
 _M1 = np.int32(np.uint32(0x7FEB352D))
 _M2 = np.int32(np.uint32(0x846CA68B))
 
-SEED_MASK = 0x00FFFFFF  # 24-bit env seeds: exact in a float32 row
+SEED_MASK = 0x00FFFFFF  # low-24-bit mask for the f32 uniform conversion
 
 
 def _lsr(x, k: int):
@@ -80,8 +83,26 @@ def uniform_slots(base, n_slots: int):
 
 
 def env_seed_from_key(key):
-    """24-bit env seed from a jax PRNG key (threefry bits -> low 24)."""
+    """Full 32-bit env seed from a jax PRNG key (threefry bits, bitcast)."""
     import jax
 
     bits = jax.random.bits(key, (), jnp.uint32)
-    return (bits & np.uint32(SEED_MASK)).astype(jnp.int32)
+    return jax.lax.bitcast_convert_type(bits, jnp.int32)
+
+
+def seed_to_row(es):
+    """int32 env seeds -> f32 row payload (bit pattern, numpy side).
+
+    The fast engines carry the seed in a float32 state row; a value cast
+    would truncate to 24 bits, so the row stores the raw bits instead."""
+    return np.ascontiguousarray(np.asarray(es, np.int32)).view(np.float32)
+
+
+def seed_from_row(row):
+    """f32 row payload -> int32 env seeds (bit pattern, traced side).
+
+    ``lax.bitcast_convert_type`` lowers in XLA, Mosaic, and Pallas
+    interpret mode (same-width bitcast)."""
+    import jax
+
+    return jax.lax.bitcast_convert_type(row, jnp.int32)

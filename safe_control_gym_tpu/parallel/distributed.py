@@ -183,7 +183,12 @@ def launch_workers(
     """
     import fcntl
 
-    lock = open("/tmp/scg_multihost.lock", "w")
+    try:
+        lock = open("/tmp/scg_multihost.lock", "w")
+    except PermissionError:
+        # Another uid owns the shared lock file; fall back to a per-uid one
+        # (still serializes this user's clusters, which is the common case).
+        lock = open(f"/tmp/scg_multihost.{os.getuid()}.lock", "w")
     fcntl.flock(lock, fcntl.LOCK_EX)  # released on process exit / fd close
     procs = []
     for pid in range(num_processes):

@@ -34,6 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from safe_control_gym_tpu.envs.constraints import box_bounds_view
 from safe_control_gym_tpu.parallel.fast_env import _STATS_KEYS, make_draw
 
 # State-row layout (each row is one (sub, lanes) tile).
@@ -42,7 +43,7 @@ _R_PL, _R_PM, _R_CM = 4, 5, 6  # pole_length, pole_mass, cart_mass
 _R_STEP = 7
 _R_OFFSET = 8  # impulse step offset
 _R_STATS = 9  # ep_ret, ep_len, ep_viol, done_cnt, sum_ret, sum_len, sum_viol
-_R_SEED = 16  # 24-bit env seed (ops/ctr_prng.py), exact in f32
+_R_SEED = 16  # 32-bit env seed (ops/ctr_prng.py), carried as an f32 bit pattern
 _R_EP = 17  # episode index (f32 counter)
 _NROWS = 18
 
@@ -91,6 +92,11 @@ def supports(cfg, allow_normalized: bool = False) -> bool:
         and cfg.adversary_disturbance is None
         and not cfg.done_on_violation
         and not cfg.use_constraint_penalty
+        # In-kernel violation counting is per-dim bound tests: only pure box
+        # programs on state/input are exact (envs/constraints.py
+        # box_bounds_view); anything else falls back to the general engine.
+        and (cfg.constraints is None
+             or box_bounds_view(cfg.constraints, _NX, 1) is not None)
     )
 
 
@@ -109,12 +115,15 @@ def _fc_cart(s, force, pl_len, pm, cm, g):
     return (x_dot, x_dd, theta_dot, theta_dd)
 
 
-def step_env_core(p, carry, force_pre, it, draw):
+def step_env_core(p, carry, force_pre, it, draw, act_raw=None):
     """One full CartPole control step on tiled rows.
 
     ``force_pre`` is the preprocessed (clipped / normalized-scaled) force
     tile — PRE action noise, which is what the reward's action error uses
-    (envs/cartpole.py step).  Returns (new_carry, rew, done, trunc, violf,
+    (envs/cartpole.py step).  ``act_raw`` is the unprocessed commanded
+    action, which is what input-constraint rows are evaluated on
+    (envs/cartpole.py step: ``get_values(x, action)``); required when
+    ``p["u_check"]``.  Returns (new_carry, rew, done, trunc, violf,
     s_post) where s_post is the post-step PRE-reset state."""
     s = tuple(carry[_X0 + k] for k in range(_NX))
     pl_len, pm, cm = carry[_R_PL], carry[_R_PM], carry[_R_CM]
@@ -205,11 +214,13 @@ def step_env_core(p, carry, force_pre, it, draw):
             gx, gv = zero_t, zero_t
         goal = [gx, gv, zero_t, zero_t]
 
-    # -- violation (default state-bound constraint set) ---------------------
+    # -- violation (pure box constraint program on state/input) -------------
     viol = None
     for k in range(_NX):
         out_k = (s[k] < p["s_low"][k]) | (s[k] > p["s_high"][k])
         viol = out_k if viol is None else (viol | out_k)
+    if p.get("u_check"):
+        viol = viol | (act_raw < p["u_low"]) | (act_raw > p["u_high"])
     violf = viol.astype(jnp.float32) if p["count_viol"] else zero_t
 
     # -- reward -------------------------------------------------------------
@@ -270,7 +281,7 @@ def step_env_core(p, carry, force_pre, it, draw):
     # -- masked auto-reset (shared counter stream, cartpole._reset_core) ----
     from safe_control_gym_tpu.ops import ctr_prng
 
-    es = carry[_R_SEED].astype(jnp.int32)
+    es = ctr_prng.seed_from_row(carry[_R_SEED])
     ep_next = carry[_R_EP].astype(jnp.int32) + 1
     base = ctr_prng.episode_base(es, ep_next)
     u = [ctr_prng.slot_uniform(base, k) for k in range(8)]
@@ -305,7 +316,7 @@ def _rollout_kernel(seed_ref, act_ref, st_ref, out_ref, *, p):
 
     def body(it, carry):
         draw = make_draw(p, seed_ref, it)
-        new_carry, *_ = step_env_core(p, carry, force, it, draw)
+        new_carry, *_ = step_env_core(p, carry, force, it, draw, act_raw=act)
         return new_carry
 
     carry = jax.lax.fori_loop(0, p["steps"], body, carry)
@@ -377,7 +388,7 @@ def _policy_rollout_kernel(
         force, a_tile, v_tile, logp_tile = pol3[0], pol3[1], pol3[2], pol3[3]
 
         new_carry, rew, done, trunc, violf, s_post = step_env_core(
-            p, carry, force, it, draw
+            p, carry, force, it, draw, act_raw=a_tile
         )
         donef = done.astype(jnp.float32)
         truncf = trunc.astype(jnp.float32)
@@ -483,6 +494,20 @@ def build_engine_params(env, steps_per_call: int, interpret: bool,
         traj_w = 2.0 * math.pi / period
         traj_scale = float(ti.get("trajectory_scale", 1.0))
 
+    # Constraint program -> per-dim box bounds (supports() guarantees the
+    # program is a pure box; envs/constraints.py box_bounds_view).
+    if cfg.constraints is not None:
+        box = box_bounds_view(cfg.constraints, _NX, 1, env.spaces)
+        assert box is not None, \
+            "fast engine requires a pure box constraint program (supports())"
+        c_s_lo, c_s_hi, c_u_lo, c_u_hi = box
+        u_check = bool((c_u_lo > -1e29).any() or (c_u_hi < 1e29).any())
+    else:
+        c_s_lo = np.asarray(env.spaces.state_low, float)
+        c_s_hi = np.asarray(env.spaces.state_high, float)
+        c_u_lo, c_u_hi = np.full(1, -1e30), np.full(1, 1e30)
+        u_check = False
+
     return dict(
         use_prng=not interpret,
         steps=steps_per_call,
@@ -503,8 +528,11 @@ def build_engine_params(env, steps_per_call: int, interpret: bool,
             np.asarray(1.0 if cfg.q_weight is None else cfg.q_weight, float).ravel(),
             (4,)).tolist()),
         r_weight=float(np.ravel(1.0 if cfg.r_weight is None else cfg.r_weight)[0]),
-        s_low=tuple(float(v) for v in env.spaces.state_low),
-        s_high=tuple(float(v) for v in env.spaces.state_high),
+        s_low=tuple(float(v) for v in c_s_lo),
+        s_high=tuple(float(v) for v in c_s_hi),
+        u_check=bool(u_check),
+        u_low=float(c_u_lo[0]),
+        u_high=float(c_u_hi[0]),
         x_threshold=float(C.X_THRESHOLD),
         theta_threshold=float(C.THETA_THRESHOLD),
         done_oob=bool(cfg.done_on_out_of_bound),
@@ -546,7 +574,7 @@ def reset_rows(p, B, sub, lanes, seed: int = 0):
     rows[_R_PL:_R_CM + 1] = tile(drawn[:, :3])
     rows[_R_OFFSET] = tile(
         np.floor(u_all[:, 7:8] * p["max_steps"]).astype(np.float32))[0]
-    rows[_R_SEED] = tile(np.asarray(es, np.float32)[:, None])[0]
+    rows[_R_SEED] = tile(ctr_prng.seed_to_row(es)[:, None])[0]
     return jnp.asarray(rows)
 
 
@@ -609,8 +637,9 @@ class FastCartPoleRollout:
                 and np.asarray(sched["offsets"]).shape[-1]:
             rows[_R_OFFSET] = self._tile(
                 np.asarray(sched["offsets"], np.float32))[0]
+        from safe_control_gym_tpu.ops import ctr_prng
         rows[_R_SEED] = self._tile(
-            np.asarray(env_states.env_seed, np.float32)[:, None])[0]
+            ctr_prng.seed_to_row(env_states.env_seed)[:, None])[0]
         rows[_R_EP] = self._tile(
             np.asarray(env_states.episode_idx, np.float32)[:, None])[0]
         return jnp.asarray(rows)

@@ -42,6 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from safe_control_gym_tpu.envs.constraints import box_bounds_view
 from safe_control_gym_tpu.ops.pallas_quad import _actuate, _axpy, _fc_rows
 
 # State-row layout (each row is one (sub, lanes) tile).
@@ -51,7 +52,7 @@ _R_J = 13  # 13,14,15
 _R_STEP = 16
 _R_OFFSET = 17
 _R_STATS = 18  # ep_ret, ep_len, ep_viol, done_cnt, sum_ret, sum_len, sum_viol
-_R_SEED = 25  # 24-bit env seed (ops/ctr_prng.py), exact in f32
+_R_SEED = 25  # 32-bit env seed (ops/ctr_prng.py), carried as an f32 bit pattern
 _R_EP = 26  # episode index (f32 counter)
 _NROWS = 27
 
@@ -147,6 +148,11 @@ def supports(cfg, allow_normalized: bool = False, allow_maze: bool = False,
         and (allow_maze or not cfg.done_on_collision)
         and (allow_maze or not cfg.done_on_completion)
         and not cfg.use_constraint_penalty
+        # In-kernel violation counting is per-dim bound tests: only pure box
+        # programs on state/input are exact (envs/constraints.py
+        # box_bounds_view); anything else falls back to the general engine.
+        and (cfg.constraints is None
+             or box_bounds_view(cfg.constraints, _NX, 4) is not None)
     )
 
 
@@ -240,7 +246,7 @@ def eval_goal(p, step_f):
     return goal
 
 
-def step_env_core(p, carry, thrust_rows, it, draw):
+def step_env_core(p, carry, thrust_rows, it, draw, act_rows=None):
     """Shared per-step env logic for the whole-rollout kernels.
 
     One full control step on (sub, lanes)-tiled state rows: action noise,
@@ -392,15 +398,24 @@ def step_env_core(p, carry, thrust_rows, it, draw):
             completed, (steps_goal > p["completion_steps"]).astype(jnp.float32)
         )
 
-    # -- violation (state bounds = the default state constraint) ------------
+    # -- violation (pure box constraint program on state/input) -------------
+    # Constraint rows use the constraint-derived bounds (c_low/c_high); the
+    # out-of-bound done check keeps the env-space bounds (s_low/s_high) —
+    # the two coincide for the default state constraint but not in general.
     viol = None
     oob_done = zero_t > 1.0
     for k in range(_NX):
-        lo, hi = p["s_low"][k], p["s_high"][k]
-        out_k = (s[k] < lo) | (s[k] > hi)
-        viol = out_k if viol is None else (viol | out_k)
+        c_out = (s[k] < p.get("c_low", p["s_low"])[k]) \
+            | (s[k] > p.get("c_high", p["s_high"])[k])
+        viol = c_out if viol is None else (viol | c_out)
         if p["done_oob"] and p["oob_mask"][k]:
-            oob_done = oob_done | out_k
+            oob_done = oob_done | (s[k] < p["s_low"][k]) | (s[k] > p["s_high"][k])
+    if p.get("u_check"):
+        # Input rows are evaluated on the RAW commanded action
+        # (envs/quadrotor.py step: get_values(x, action)).
+        for i in range(4):
+            viol = viol | (act_rows[i] < p["u_low"][i]) \
+                | (act_rows[i] > p["u_high"][i])
     violf = viol.astype(jnp.float32) if p["count_viol"] else zero_t
 
     # -- reward -------------------------------------------------------------
@@ -471,7 +486,7 @@ def step_env_core(p, carry, thrust_rows, it, draw):
         # kernel's u[] indexing predates it, so remap.
         from safe_control_gym_tpu.ops import ctr_prng
 
-        es = carry[_R_SEED].astype(jnp.int32)
+        es = ctr_prng.seed_from_row(carry[_R_SEED])
         ep_next = carry[_R_EP].astype(jnp.int32) + 1
         base = ctr_prng.episode_base(es, ep_next)
         slot_map = list(range(4, 16)) + [0, 1, 2, 3, 16] + list(range(17, n_draw))
@@ -536,12 +551,14 @@ def _rollout_kernel(seed_ref, act_ref, st_ref, out_ref, *, p):
     thr = tuple(
         jnp.clip(act[i], p["a_low"], p["a_high"]) for i in range(4)
     )
+    raw = [act[i] for i in range(4)]
     n_rows = total_rows(p)
     carry = tuple(rows[i] for i in range(n_rows))
 
     def body(it, carry):
         draw = make_draw(p, seed_ref, it)
-        new_carry, *_ = step_env_core(p, carry, list(thr), it, draw)
+        new_carry, *_ = step_env_core(p, carry, list(thr), it, draw,
+                                      act_rows=raw)
         return new_carry
 
     carry = jax.lax.fori_loop(0, p["steps"], body, carry)
@@ -651,6 +668,18 @@ def build_engine_params(env, steps_per_call: int, interpret: bool,
         ), dtype=float)
         proj = tuple(tuple(float(v) for v in M4[k, :4]) for k in range(3))
 
+    if cfg.constraints is not None:
+        box = box_bounds_view(cfg.constraints, _NX, 4, env.spaces)
+        assert box is not None, \
+            "fast engine requires a pure box constraint program (supports())"
+        c_s_lo, c_s_hi, c_u_lo, c_u_hi = box
+        u_check = bool((c_u_lo > -1e29).any() or (c_u_hi < 1e29).any())
+    else:
+        c_s_lo = np.asarray(env.spaces.state_low, float)
+        c_s_hi = np.asarray(env.spaces.state_high, float)
+        c_u_lo, c_u_hi = np.full(4, -1e30), np.full(4, 1e30)
+        u_check = False
+
     params = dict(
         use_prng=not interpret,
         steps=steps_per_call,
@@ -670,6 +699,14 @@ def build_engine_params(env, steps_per_call: int, interpret: bool,
         oob_mask=tuple(bool(v) for v in (1, 0, 1, 0, 1, 0, 1, 1, 1, 0, 0, 0)),
         done_oob=bool(cfg.done_on_out_of_bound),
         count_viol=cfg.constraints is not None,
+        # Constraint program -> per-dim box bounds for in-kernel violation
+        # counting (supports() guarantees a pure box program; the oob check
+        # above keeps using the env-space bounds regardless).
+        c_low=tuple(float(v) for v in c_s_lo),
+        c_high=tuple(float(v) for v in c_s_hi),
+        u_check=bool(u_check),
+        u_low=tuple(float(v) for v in c_u_lo),
+        u_high=tuple(float(v) for v in c_u_hi),
         max_steps=float(int(cfg.episode_len_sec * cfg.ctrl_freq)),
         impulse=impulse,
         task=task, x_goal=x_goal,
@@ -797,7 +834,7 @@ def reset_rows(p, B, sub, lanes, seed: int = 0):
     rows[_R_OFFSET] = tile(
         np.floor(u_all[:, 16:17] * p["max_steps"]).astype(np.float32)
     )[0]
-    rows[_R_SEED] = tile(np.asarray(es, np.float32)[:, None])[0]
+    rows[_R_SEED] = tile(ctr_prng.seed_to_row(es)[:, None])[0]
     if p.get("maze"):
         glo, ghi = (np.float32(v) for v in p["gate_rand"])
         olo, ohi = (np.float32(v) for v in p["obst_rand"])
@@ -882,8 +919,9 @@ class FastQuadRollout:
             rows[_R_OFFSET] = self._tile(
                 np.asarray(sched["offsets"], np.float32)
             )[0]
+        from safe_control_gym_tpu.ops import ctr_prng
         rows[_R_SEED] = self._tile(
-            np.asarray(env_states.env_seed, np.float32)[:, None])[0]
+            ctr_prng.seed_to_row(env_states.env_seed)[:, None])[0]
         rows[_R_EP] = self._tile(
             np.asarray(env_states.episode_idx, np.float32)[:, None])[0]
         p = self.params

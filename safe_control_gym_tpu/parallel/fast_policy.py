@@ -175,7 +175,7 @@ def _policy_rollout_kernel(
 
         # -- shared env step (dynamics/reward/done/stats/auto-reset) --------
         new_carry, rew, done, trunc, violf, collidedf, s_post = step_env_core(
-            p, carry, thrust_rows, it, draw
+            p, carry, thrust_rows, it, draw, act_rows=act_rows
         )
         donef = done.astype(jnp.float32)
         truncf = trunc.astype(jnp.float32)

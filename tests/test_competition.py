@@ -129,7 +129,7 @@ def test_level2_sim_only_randomized_runs():
     """Level 2 adds randomized gates/inertia/disturbances — the episode must
     run end-to-end (completion not guaranteed under randomization).
 
-    Seed pinned to a flyable spawn: level 2 randomizes init_y = -2.9 +/- 0.1
+    Seed pinned to a flyable spawn (re-pinned when the counter-PRNG env seed widened to 32 bits re-rolled the draws, docs/PARITY.md): level 2 randomizes init_y = -2.9 +/- 0.1
     against a hard kill boundary at y = -3 with up to 0.1 rad of random tilt
     (reference level2.yaml:38-78,136-158 has the same geometry), so a
     fraction of seeds legitimately violate within ~10 control steps — that
@@ -138,7 +138,7 @@ def test_level2_sim_only_randomized_runs():
     from safe_control_gym_tpu.competition.getting_started import run
 
     level = dict(_load_level(2))
-    level["seed"] = 0
+    level["seed"] = 2
     eps = run(level, num_episodes=1, use_firmware=False, ctrl_freq=60)
     assert eps[0]["steps"] > 60, eps
 
@@ -214,7 +214,7 @@ def test_level2_firmware_all_gates_no_collision():
     from safe_control_gym_tpu.competition.getting_started import run
 
     level = dict(_load_level(2))
-    level["seed"] = 0
+    level["seed"] = 2
     eps = run(level, num_episodes=1, use_firmware=True, use_mpcc=False,
               ctrl_freq=25)
     assert eps[0]["collisions"] == 0, eps
@@ -235,7 +235,7 @@ def test_level2_firmware_mpcc_races_default_path():
     assert inspect.signature(Controller.__init__).parameters["use_mpcc"].default is True
 
     level = dict(_load_level(2))
-    level["seed"] = 0
+    level["seed"] = 2
     eps = run(level, num_episodes=1, use_firmware=True, ctrl_freq=25)
     assert eps[0]["collisions"] == 0, eps
     assert eps[0]["gates_passed"] == 4, eps
@@ -280,7 +280,7 @@ def test_multi_episode_risk_flow_level2_reckless_level3_conservative():
             plan_measured_log.append(self._plan_is_measured)
 
     level = dict(_load_level(2))
-    level["seed"] = 0
+    level["seed"] = 2
     eps = run(level, num_episodes=4, use_firmware=True, ctrl_freq=25,
               controller_cls=AdviserController)
     # Course is static across episodes: every episode must complete.
@@ -300,7 +300,7 @@ def test_multi_episode_risk_flow_level2_reckless_level3_conservative():
     advice_log.clear()
     plan_measured_log.clear()
     level3 = dict(_load_level(3))
-    level3["seed"] = 0
+    level3["seed"] = 2
     eps3 = run(level3, num_episodes=4, use_firmware=True, ctrl_freq=25,
                controller_cls=AdviserController)
     # Poses drift between episodes: the detector must keep every episode
@@ -319,7 +319,7 @@ def test_level3_firmware_mpcc_completes():
     from safe_control_gym_tpu.competition.getting_started import run
 
     level = dict(_load_level(3))
-    level["seed"] = 0
+    level["seed"] = 2
     eps = run(level, num_episodes=1, use_firmware=True, ctrl_freq=25)
     assert eps[0]["collisions"] == 0, eps
     assert eps[0]["gates_passed"] == 4, eps

@@ -250,3 +250,41 @@ def test_ppo_fast_rollout_trains_cartpole():
     assert int(jax.device_get(s.total_steps)) == 2 * B * 8
     for k in ("policy_loss", "value_loss", "approx_kl"):
         assert np.isfinite(float(jax.device_get(m[k]))), k
+
+
+def test_input_constraint_violations_match_general_engine():
+    """Input box rows are counted in-kernel on the raw commanded action:
+    a force outside the input bounds registers one violation per step in
+    BOTH engines (envs/cartpole.py step: get_values(x, action))."""
+    specs = (
+        {"constraint_form": "default_constraint", "constrained_variable": "state"},
+        {"constraint_form": "bounded_constraint", "constrained_variable": "input",
+         "lower_bounds": [-0.5], "upper_bounds": [0.5]},
+    )
+    cfg = _cfg(constraints=specs, randomized_init=False,
+               init_state=[0.0, 0.0, 0.02, 0.0])
+    assert supports(cfg)
+    fr, rows_out, carry = _run_both(cfg, 8, 0.8)  # |0.8| > 0.5: violates
+    viol_fast = np.asarray(rows_out[11]).reshape(B)
+    np.testing.assert_array_equal(
+        viol_fast, np.asarray(carry.stats.ep_violations))
+    assert viol_fast.min() == 8  # every step violated the input row
+
+    # In-bounds force: state rows quiet near upright, input row quiet.
+    fr, rows_out, carry = _run_both(cfg, 8, 0.3)
+    np.testing.assert_array_equal(
+        np.asarray(rows_out[11]).reshape(B),
+        np.asarray(carry.stats.ep_violations))
+
+
+def test_non_box_constraints_fall_back_to_general_engine():
+    """Linear/quadratic/symmetric programs cannot be counted per-dim in
+    kernel; supports() must reject them (envs/constraints.py
+    box_bounds_view)."""
+    lin = ({"constraint_form": "linear_constraint",
+            "constrained_variable": "state",
+            "A": [[1.0, 0.0, 1.0, 0.0]], "b": [1.0]},)
+    assert not supports(_cfg(constraints=lin))
+    strict_box = ({"constraint_form": "default_constraint",
+                   "constrained_variable": "state", "strict": True},)
+    assert not supports(_cfg(constraints=strict_box))

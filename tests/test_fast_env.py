@@ -318,3 +318,42 @@ def test_supports_rejects_out_of_envelope_extras():
     assert not supports(_cfg(done_on_completion=True))
     assert not supports(_cfg(disturbances={"dynamics": (
         {"disturbance_func": "impulse", "magnitude": 0.01, "step_offset": 5},)}))
+
+
+def test_input_constraint_violations_match_general_engine():
+    """Input box rows are counted in-kernel on the raw commanded action
+    (envs/quadrotor.py step: get_values(x, action)); non-box programs are
+    rejected by supports() (envs/constraints.py box_bounds_view)."""
+    hover_probe = make_quadrotor(_cfg())
+    hover = float(hover_probe.u_goal[0])
+    specs = (
+        {"constraint_form": "default_constraint", "constrained_variable": "state"},
+        {"constraint_form": "bounded_constraint", "constrained_variable": "input",
+         "lower_bounds": [0.0] * 4, "upper_bounds": [hover * 1.05] * 4},
+    )
+    cfg = _cfg(constraints=specs, randomized_init=False,
+               randomized_inertial_prop=False)
+    assert supports(cfg)
+    assert not supports(_cfg(constraints=(
+        {"constraint_form": "linear_constraint", "constrained_variable": "input",
+         "A": [[1.0, 1.0, 1.0, 1.0]], "b": [4 * hover]},)))
+
+    env = make_quadrotor(cfg)
+    vec = make_vec_env(env, B)
+    state, _, _ = jax.jit(vec.reset)(jax.random.key(0))
+    x0 = np.zeros((B, 12), np.float32)
+    x0[:, 4] = 1.0
+    state = state.replace(x=jnp.asarray(x0))
+
+    force = hover * 1.2  # above the input row's upper bound: violates
+    act = jnp.full((B, 4), force, jnp.float32)
+    fr = FastQuadRollout(env, B, steps_per_call=6, interpret=True)
+    rows_out = fr.run(fr.pack(state), np.full(4, force), seed=0)
+    carry = RolloutCarry(state, jnp.asarray(x0), (), EpisodeStats.create(B))
+    carry, _ = jax.jit(
+        lambda c: rollout(vec, lambda ps, o: (act, ps), c, 6, collect=False)
+    )(carry)
+    viol_fast = np.asarray(rows_out[20]).reshape(B)
+    np.testing.assert_array_equal(
+        viol_fast, np.asarray(carry.stats.ep_violations))
+    assert viol_fast.min() == 6
