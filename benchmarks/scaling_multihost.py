@@ -16,7 +16,10 @@ nothing).  Two efficiencies are reported per N:
   * ``efficiency_wall``  — raw wall-clock weak scaling at the final S;
   * ``efficiency_slope`` — b(1) / b(N), the compute-only scaling that a pod
     (where per-call overhead is microseconds of ICI latency, not
-    milliseconds of Gloo) would approach.
+    milliseconds of Gloo) would approach;
+  * ``efficiency_slope_coreadj`` — the slope with core-oversubscription
+    timeslicing (processes > cores) scaled back out: aggregate compute
+    conservation, the signal that transfers to dedicated pod hosts.
 
 On actual pod hardware, run the worker directly on every host instead of
 through the local launcher:
@@ -148,10 +151,13 @@ def main(max_hosts=4, devices_per_host=2, envs_per_host=1024, steps=128,
         "unit": "fraction",
         "caveat": (
             "CPU-backend validation cluster: N processes share ONE machine's "
-            "cores, so wall efficiency under-reads by construction; "
-            "efficiency_slope (per-step compute scaling) and the recorded "
-            "coordination fractions are the transferable signal. Pod hardware "
-            "runs the identical worker via JAX_COORDINATOR_ADDRESS."
+            "cores, so wall efficiency under-reads by construction, and when "
+            "processes outnumber cores the RAW slope efficiency is bounded by "
+            "cores/processes by pure timeslicing (and is load-sensitive "
+            "run-to-run). The transferable signals are "
+            "efficiency_slope_coreadj (aggregate compute conservation across "
+            "the process split) and the recorded coordination fractions. Pod "
+            "hardware runs the identical worker via JAX_COORDINATOR_ADDRESS."
         ),
         "rows": [],
     }
@@ -169,11 +175,24 @@ def main(max_hosts=4, devices_per_host=2, envs_per_host=1024, steps=128,
         # Weak scaling, constant envs/host: perfect compute scaling keeps
         # per-step time flat as N grows.
         r["efficiency_slope"] = round(base_slope / r["per_step_us"], 4)
+        # Core-adjusted slope: with N processes packed onto C < N cores,
+        # even a perfectly-scaling program's per-step time grows by N/C —
+        # pure timeslicing, not a property of the sharded program.  Scale
+        # that contention back out: on dedicated hosts (C >= N) this
+        # reduces to efficiency_slope; on this validation box it measures
+        # AGGREGATE COMPUTE CONSERVATION — how much per-step compute the
+        # split program loses to coordination/cache effects, the quantity
+        # that actually transfers to a pod.  Values can exceed 1 (two
+        # pinned processes can schedule better than one).
+        cores = os.cpu_count() or 1
+        r["cores"] = cores
+        r["efficiency_slope_coreadj"] = round(
+            (n / min(n, cores)) * base_slope / r["per_step_us"], 4)
         artifact["rows"].append(r)
         print(json.dumps(r), flush=True)
         n *= 2
     last = artifact["rows"][-1]
-    artifact["value"] = last["efficiency_slope"]
+    artifact["value"] = last["efficiency_slope_coreadj"]
     artifact["hosts"] = last["processes"]
     artifact["efficiency_wall_at_max"] = last["efficiency_wall"]
     if tpu_dispatch:
