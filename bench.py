@@ -210,6 +210,49 @@ def bench_cartpole():
     return iters * S * B / dt
 
 
+def bench_quad2d():
+    """BASELINE config 3: planar (2D) quadrotor stabilization with
+    domain-randomized mass/inertia, on the planar whole-rollout kernel
+    (parallel/fast_quad_planar.py; step-exact vs the general engine in
+    tests/test_fast_quad_planar.py)."""
+    import numpy as np
+
+    from safe_control_gym_tpu.parallel.fast_quad_planar import (
+        FastPlanarQuadRollout,
+        supports,
+    )
+
+    cfg = QuadrotorConfig(
+        quad_type=2, ctrl_freq=50, pyb_freq=200, episode_len_sec=10,
+        task="stabilization",
+        task_info={"stabilization_goal": [0, 1],
+                   "stabilization_goal_tolerance": 0.05},
+        randomized_init=True, randomized_inertial_prop=True,
+        constraints=(
+            {"constraint_form": "default_constraint", "constrained_variable": "state"},
+        ),
+        done_on_out_of_bound=True,
+    )
+    if not supports(cfg):
+        return None
+    env = make_quadrotor(cfg)
+    hover = float(env.u_goal[0])
+    S, iters = 4096, 2
+    fr = FastPlanarQuadRollout(env, B, steps_per_call=S)
+    act = fr.prepare_action(np.full(2, hover, np.float32))
+    rows = fr.reset(seed=0)
+    rows = fr.run(rows, act, 1)
+    jax.device_get(rows)
+    rows = fr.run(rows, act, 2)
+    jax.device_get(rows)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        rows = fr.run(rows, act, 3 + i)
+    jax.device_get(rows)
+    dt = time.perf_counter() - t0
+    return iters * S * B / dt
+
+
 def bench_policy_in_loop():
     """Closed-loop throughput: a REAL policy (PPO actor+critic MLP forward +
     Gaussian sampling) acting in-kernel every step, trajectory recorded to
@@ -307,7 +350,8 @@ def regression_deltas(record, prev):
     if not prev:
         return None, []
     keys = ("value", "general_engine_value", "policy_in_loop_value",
-            "maze_level2_value", "rl_train_value", "cartpole_value")
+            "maze_level2_value", "rl_train_value", "cartpole_value",
+            "quad2d_value")
     deltas, flagged = {}, []
     for k in keys:
         new_v, old_v = record.get(k), prev.get(k)
@@ -357,6 +401,7 @@ def main():
     maze = _safe(bench_maze)
     rl_train = _safe(bench_rl_train)
     cartpole = _safe(bench_cartpole)
+    quad2d = _safe(bench_quad2d)
     headline = fast if fast is not None else general
     record = {
         "metric": "env_steps_per_sec_per_chip_quad3d_4096",
@@ -380,6 +425,10 @@ def main():
         # BASELINE config 2: CartPole tracking + box constraints + action
         # white noise on the cartpole whole-rollout kernel.
         "cartpole_value": round(cartpole, 1) if cartpole is not None else None,
+        # BASELINE config 3: planar (2D) quad stabilization + DR inertia
+        # on the planar whole-rollout kernel — with this row every BASELINE
+        # config family is measured on a single-dispatch engine.
+        "quad2d_value": round(quad2d, 1) if quad2d is not None else None,
     }
     prev, prev_name = load_prev_bench()
     deltas, flagged = regression_deltas(record, prev)

@@ -18,6 +18,7 @@ from safe_control_gym_tpu.parallel.distributed import (
 )
 from safe_control_gym_tpu.parallel.episode_stats import RecordEpisodeStatistics
 from safe_control_gym_tpu.parallel.fast_env import FastQuadRollout
+from safe_control_gym_tpu.parallel.fast_quad_planar import FastPlanarQuadRollout
 
 __all__ = [
     "VecEnv",
@@ -32,4 +33,5 @@ __all__ = [
     "sharded_init_fn",
     "RecordEpisodeStatistics",
     "FastQuadRollout",
+    "FastPlanarQuadRollout",
 ]

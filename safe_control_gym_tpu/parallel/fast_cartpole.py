@@ -176,33 +176,10 @@ def step_env_core(p, carry, force_pre, it, draw, act_raw=None):
     if p["task"] == "stab":
         goal = [jnp.full_like(step_f, v) for v in p["x_goal"]]
     else:
+        from safe_control_gym_tpu.parallel.fast_env import eval_curve
+
         t = step_f * p["ctrl_dt"]
-        w, sc = p["traj_w"], p["traj_scale"]
-        if p["traj_type"] == "figure8":
-            sw, cw = jnp.sin(w * t), jnp.cos(w * t)
-            a_p, b_p = sc * sw, sc * sw * cw
-            a_v, b_v = sc * w * cw, sc * w * (cw * cw - sw * sw)
-        elif p["traj_type"] == "circle":
-            sw, cw = jnp.sin(w * t), jnp.cos(w * t)
-            a_p, b_p = sc * cw, sc * sw
-            a_v, b_v = -sc * w * sw, sc * w * cw
-        else:  # square (benchmark_env.py:625-674 piecewise-linear)
-            period = p["traj_period"]
-            seg_period = period / 4.0
-            speed = sc / seg_period
-            cyc = t - period * jnp.floor(t / period)
-            seg = jnp.floor(cyc / seg_period)
-            seg_pos = speed * (cyc - seg * seg_period)
-            is0, is1 = seg < 0.5, jnp.abs(seg - 1.0) < 0.5
-            is2 = jnp.abs(seg - 2.0) < 0.5
-            a_p = jnp.where(is0, zero_t, jnp.where(is1, -seg_pos,
-                  jnp.where(is2, -sc + zero_t, -sc + seg_pos)))
-            b_p = jnp.where(is0, seg_pos, jnp.where(is1, sc + zero_t,
-                  jnp.where(is2, sc - seg_pos, zero_t)))
-            a_v = jnp.where(is0, zero_t, jnp.where(is1, -speed + zero_t,
-                  jnp.where(is2, zero_t, speed + zero_t)))
-            b_v = jnp.where(is0, speed + zero_t, jnp.where(is1, zero_t,
-                  jnp.where(is2, -speed + zero_t, zero_t)))
+        a_p, b_p, a_v, b_v = eval_curve(p, t)
         # CartPole's X_GOAL takes the x-axis component of the planar curve
         # (envs/cartpole.py x_goal: pos[:, 0], vel[:, 0]).
         sel = p["x_axis_sel"]

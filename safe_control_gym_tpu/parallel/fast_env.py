@@ -191,16 +191,12 @@ def make_draw(p, seed_ref, it):
     return draw
 
 
-def eval_goal(p, step_f):
-    """Closed-form goal reference at control-step tile ``step_f``: the
-    _NX goal rows (static goal for stabilization, analytic planar curve +
-    projection for tracking — benchmark_env.py:124-170 generators evaluated
-    in-kernel instead of gathered from a table).  Shared by the reward path
-    (step_env_core) and the goal-horizon observation extension
-    (fast_policy._obs_rows)."""
-    if p["task"] == "stab":
-        return [jnp.full_like(step_f, v) for v in p["x_goal"]]
-    t = step_f * p["ctrl_dt"]
+def eval_curve(p, t):
+    """Closed-form planar reference curve at time tile ``t`` — the
+    benchmark_env.py:124-170 generators evaluated in-kernel instead of
+    gathered from a table.  Returns the two curve components and their
+    velocities ``(a_p, b_p, a_v, b_v)``.  Shared by all three whole-rollout
+    engines (quad-3D here, fast_cartpole, fast_quad_planar)."""
     w = p["traj_w"]
     sc = p["traj_scale"]
     if p["traj_type"] == "figure8":
@@ -230,6 +226,20 @@ def eval_goal(p, step_f):
               jnp.where(is2, zt, speed + zt)))
         b_v = jnp.where(is0, speed + zt, jnp.where(is1, zt,
               jnp.where(is2, -speed + zt, zt)))
+    return a_p, b_p, a_v, b_v
+
+
+def eval_goal(p, step_f):
+    """Closed-form goal reference at control-step tile ``step_f``: the
+    _NX goal rows (static goal for stabilization, analytic planar curve +
+    projection for tracking — benchmark_env.py:124-170 generators evaluated
+    in-kernel instead of gathered from a table).  Shared by the reward path
+    (step_env_core) and the goal-horizon observation extension
+    (fast_policy._obs_rows)."""
+    if p["task"] == "stab":
+        return [jnp.full_like(step_f, v) for v in p["x_goal"]]
+    t = step_f * p["ctrl_dt"]
+    a_p, b_p, a_v, b_v = eval_curve(p, t)
     zero = jnp.zeros_like(t)
     goal = [zero] * _NX
     p3 = [zero, zero, zero]

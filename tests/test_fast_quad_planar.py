@@ -1,0 +1,200 @@
+"""Planar (1D/2D) quadrotor whole-rollout Pallas engine vs the general
+engine (parallel/fast_quad_planar.py) — BASELINE config 3 in one kernel
+dispatch.  Mirrors tests/test_fast_cartpole.py: step dynamics/reward/done
+match on reset-free segments, and reset draws replay the shared
+counter-based stream (ops/ctr_prng.py, quadrotor._reset_core slots) so
+trajectories stay step-equal THROUGH auto-resets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_control_gym_tpu.envs.quadrotor import QuadrotorConfig, make_quadrotor
+from safe_control_gym_tpu.parallel import make_vec_env
+from safe_control_gym_tpu.parallel.fast_quad_planar import (
+    FastPlanarQuadRollout,
+    supports,
+)
+from safe_control_gym_tpu.parallel.rollout import EpisodeStats, RolloutCarry, rollout
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from the fast CI shard
+
+B = 1024
+
+
+def _cfg(**kw):
+    base = dict(quad_type=2, ctrl_freq=50, pyb_freq=200, episode_len_sec=4,
+                task="stabilization",
+                task_info={"stabilization_goal": [0, 1],
+                           "stabilization_goal_tolerance": 0.05},
+                cost="rl_reward", randomized_init=True,
+                randomized_inertial_prop=True, done_on_out_of_bound=True)
+    base.update(kw)
+    return QuadrotorConfig(**base)
+
+
+def test_supports_envelope():
+    assert supports(_cfg())  # config 3: 2D stabilization + DR
+    assert supports(_cfg(quad_type=1))
+    assert supports(_cfg(cost="quadratic"))
+    assert supports(_cfg(
+        task="traj_tracking",
+        task_info={"trajectory_type": "figure8", "trajectory_plane": "zx",
+                   "trajectory_position_offset": [0.5, 0.0],
+                   "trajectory_scale": 0.5, "num_cycles": 1}))
+    assert supports(_cfg(disturbances={
+        "action": ({"disturbance_func": "white_noise", "std": 0.01},),
+        "dynamics": ({"disturbance_func": "impulse", "magnitude": 0.02,
+                      "duration": 4, "decay_rate": 0.9},)}))
+    assert not supports(_cfg(quad_type=3))  # 3D is fast_env's
+    assert not supports(_cfg(physics="pyb_gnd"))
+    assert not supports(_cfg(adversary_disturbance="dynamics"))
+    assert not supports(_cfg(obs_goal_horizon=2))
+    assert not supports(_cfg(done_on_violation=True))
+    assert not supports(_cfg(constraints=(
+        {"constraint_form": "linear_constraint", "constrained_variable": "state",
+         "A": [[1.0, 0, 0, 0, 0, 0]], "b": [1.0]},)))
+    assert not supports(_cfg(normalized_rl_action_space=True))
+    assert supports(_cfg(normalized_rl_action_space=True), allow_normalized=True)
+
+
+def _run_both(cfg, steps, thrust, seed=0, pack_state=None):
+    env = make_quadrotor(cfg)
+    vec = make_vec_env(env, B)
+    state, obs, _ = jax.jit(vec.reset)(jax.random.key(seed))
+    if pack_state is not None:
+        state = pack_state(state)
+    fr = FastPlanarQuadRollout(env, B, steps_per_call=steps, interpret=True)
+    nu = fr.nu
+    rows_out = fr.run(fr.pack(state), np.full(nu, thrust), seed=0)
+    act = jnp.full((B, nu), thrust, jnp.float32)
+    carry = RolloutCarry(state, obs[:, :fr.nx], (), EpisodeStats.create(B))
+    carry, _ = jax.jit(
+        lambda c: rollout(vec, lambda ps, o: (act, ps), c, steps, collect=False)
+    )(carry)
+    return fr, rows_out, carry
+
+
+def test_2d_dynamics_reward_match_general_engine():
+    """Reset-free segment: identical trajectories and return accumulators."""
+    cfg = _cfg(randomized_init=False, randomized_inertial_prop=False,
+               init_state=[0.0, 0.0, 1.0, 0.0, 0.05, 0.0])
+    env = make_quadrotor(cfg)
+    hover = float(env.u_goal[0])
+    fr, rows_out, carry = _run_both(cfg, 12, hover * 1.02)
+    np.testing.assert_allclose(
+        fr.states(rows_out), np.asarray(carry.env_state.x), rtol=2e-4, atol=2e-5)
+    L = fr.params["_L"]
+    r = np.asarray(rows_out[L["STATS"]]).reshape(B)
+    np.testing.assert_allclose(r, np.asarray(carry.stats.ep_return), rtol=2e-4)
+    assert np.asarray(rows_out[L["STATS"] + 3]).sum() == 0  # no env terminated
+
+
+def test_1d_dynamics_match_general_engine():
+    cfg = _cfg(quad_type=1, randomized_init=False,
+               randomized_inertial_prop=False, init_state=[1.0, 0.0])
+    env = make_quadrotor(cfg)
+    hover = float(env.u_goal[0])
+    fr, rows_out, carry = _run_both(cfg, 15, hover * 0.98)
+    np.testing.assert_allclose(
+        fr.states(rows_out), np.asarray(carry.env_state.x), rtol=2e-4, atol=2e-5)
+    L = fr.params["_L"]
+    r = np.asarray(rows_out[L["STATS"]]).reshape(B)
+    np.testing.assert_allclose(r, np.asarray(carry.stats.ep_return), rtol=2e-4)
+
+
+def test_2d_tracking_quadratic_cost_matches():
+    """figure8 on the zx plane with quadratic cost: closed-form in-kernel
+    reference matches the general engine's precomputed X_GOAL table."""
+    cfg = _cfg(task="traj_tracking",
+               task_info={"trajectory_type": "figure8",
+                          "trajectory_plane": "zx",
+                          "trajectory_position_offset": [1.0, 0.0],
+                          "trajectory_scale": 0.4, "num_cycles": 1},
+               cost="quadratic", randomized_init=False,
+               randomized_inertial_prop=False,
+               init_state=[0.0, 0.0, 1.0, 0.0, 0.0, 0.0],
+               q_weight=[1.0, 0.1, 1.0, 0.1, 0.5, 0.1], r_weight=[0.05, 0.05])
+    env = make_quadrotor(cfg)
+    hover = float(env.u_goal[0])
+    fr, rows_out, carry = _run_both(cfg, 15, hover)
+    np.testing.assert_allclose(
+        fr.states(rows_out), np.asarray(carry.env_state.x), rtol=2e-4, atol=2e-5)
+    L = fr.params["_L"]
+    r = np.asarray(rows_out[L["STATS"]]).reshape(B)
+    np.testing.assert_allclose(r, np.asarray(carry.stats.ep_return),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_trajectory_equality_across_engines_with_resets():
+    """Seeded rollout WITH resets is step-equal across engines: reset draws
+    (init state, mass/inertia, impulse offsets) replay bit-identically from
+    the shared counter stream (quadrotor._reset_core slot layout)."""
+    cfg = _cfg(episode_len_sec=0.2,  # 10-step episodes: ~2 resets in 25
+               done_on_out_of_bound=False,
+               disturbances={"dynamics": ({"disturbance_func": "impulse",
+                                           "magnitude": 0.02, "duration": 4,
+                                           "decay_rate": 0.8},)})
+    env = make_quadrotor(cfg)
+    vec = make_vec_env(env, B)
+    steps = 25
+
+    fr = FastPlanarQuadRollout(env, B, steps_per_call=steps, interpret=True)
+    rows0 = fr.reset(seed=0)
+    state, obs, _ = jax.jit(vec.reset)(jax.random.key(0))
+    L = fr.params["_L"]
+
+    np.testing.assert_allclose(fr.states(rows0), np.asarray(state.x),
+                               rtol=1e-6, atol=2e-7)
+    np.testing.assert_allclose(
+        np.asarray(rows0[L["MASS"]]).reshape(B), np.asarray(state.mass), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(rows0[L["IYY"]]).reshape(B),
+        np.asarray(state.j_diag)[:, 1], rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(rows0[L["OFFSET"]]).reshape(B),
+        np.asarray(state.dist_sched["dynamics"]["offsets"],
+                   np.float32).reshape(B))
+
+    hover = float(env.u_goal[0])
+    rows_out = fr.run(rows0, np.full(2, hover), seed=0)
+    act = jnp.full((B, 2), hover, jnp.float32)
+    carry = RolloutCarry(state, obs, (), EpisodeStats.create(B))
+    carry, _ = jax.jit(
+        lambda c: rollout(vec, lambda ps, o: (act, ps), c, steps, collect=False)
+    )(carry)
+
+    np.testing.assert_allclose(
+        fr.states(rows_out), np.asarray(carry.env_state.x), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(rows_out[L["MASS"]]).reshape(B),
+        np.asarray(carry.env_state.mass), rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(rows_out[L["OFFSET"]]).reshape(B),
+        np.asarray(carry.env_state.dist_sched["dynamics"]["offsets"],
+                   np.float32).reshape(B))
+    np.testing.assert_array_equal(
+        np.asarray(rows_out[L["EP"]]).reshape(B),
+        np.asarray(carry.env_state.episode_idx, np.float32))
+
+
+def test_input_constraint_violations_match_general_engine():
+    """Input box rows counted in-kernel on the raw commanded action."""
+    probe = make_quadrotor(_cfg())
+    hover = float(probe.u_goal[0])
+    specs = (
+        {"constraint_form": "default_constraint", "constrained_variable": "state"},
+        {"constraint_form": "bounded_constraint", "constrained_variable": "input",
+         "lower_bounds": [0.0, 0.0], "upper_bounds": [hover * 1.05] * 2},
+    )
+    cfg = _cfg(constraints=specs, randomized_init=False,
+               randomized_inertial_prop=False,
+               init_state=[0.0, 0.0, 1.0, 0.0, 0.0, 0.0])
+    assert supports(cfg)
+    fr, rows_out, carry = _run_both(cfg, 6, hover * 1.2)  # violates input row
+    L = fr.params["_L"]
+    viol_fast = np.asarray(rows_out[L["STATS"] + 2]).reshape(B)
+    np.testing.assert_array_equal(
+        viol_fast, np.asarray(carry.stats.ep_violations))
+    assert viol_fast.min() == 6
