@@ -177,6 +177,21 @@ class PPO(BaseController):
                     mlp_hidden=cfg.hidden_dim, mlp_act=cfg.activation,
                     interpret=self._fast_interpret,
                 )
+            elif int(getattr(env.config, "quad_type", 3)) in (1, 2):
+                from safe_control_gym_tpu.parallel.fast_quad_planar import (
+                    FastPlanarQuadPolicyRollout,
+                )
+                from safe_control_gym_tpu.parallel.fast_quad_planar import (
+                    supports as pq_supports,
+                )
+
+                assert pq_supports(env.config, allow_normalized=True), \
+                    "env config outside the fast-planar-quad envelope"
+                self._fp = FastPlanarQuadPolicyRollout(
+                    env, cfg.rollout_batch_size, cfg.rollout_steps,
+                    mlp_hidden=cfg.hidden_dim, mlp_act=cfg.activation,
+                    interpret=self._fast_interpret,
+                )
             else:
                 from safe_control_gym_tpu.parallel.fast_env import supports
                 from safe_control_gym_tpu.parallel.fast_policy import (

@@ -619,3 +619,258 @@ class FastPlanarQuadRollout:
         if not isinstance(seed, jax.Array):
             seed = jnp.asarray([seed], jnp.int32)
         return self._call(seed, action, rows)
+
+
+_HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+def _policy_rollout_kernel(
+    seed_ref, logstd_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    st_ref, out_ref, traj_ref, scratch_ref, sem_ref, *, p,
+):
+    """Policy-in-kernel planar-quad rollout (mirrors fast_policy.py /
+    fast_cartpole._policy_rollout_kernel): per step, fully VMEM-resident —
+    obs -> dual actor+critic MLP forward -> Gaussian sampling -> env step —
+    with the (obs, act, rew, done, trunc, v, logp, terminal-obs) record
+    DMA'd to an HBM trajectory buffer through a double-buffered scratch."""
+    if p["use_prng"]:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    nx, nu = p["nx"], p["nu"]
+    L = p["_L"]
+    n_rows = L["NROWS"]
+    traj_rows = 2 * nx + nu + 5
+    rows = st_ref[:]
+    w1, b1 = w1_ref[:], b1_ref[:]
+    w2, b2 = w2_ref[:], b2_ref[:]
+    w3, b3 = w3_ref[:], b3_ref[:]
+    sub, lanes = rows.shape[1], rows.shape[2]
+    BB = sub * lanes
+    carry = tuple(rows[i] for i in range(n_rows))
+    act_fn = jnp.tanh if p["mlp_act"] == "tanh" else \
+        (lambda z: jnp.maximum(z, 0.0))
+
+    def forward(obs_rows):
+        X = jnp.stack(obs_rows, 0).reshape(nx, BB)
+        h = act_fn(jnp.dot(w1, X, preferred_element_type=jnp.float32) + b1)
+        h = act_fn(jnp.dot(w2, h, preferred_element_type=jnp.float32) + b2)
+        O = jnp.dot(w3, h, preferred_element_type=jnp.float32) + b3  # (8, BB)
+        return [O[i:i + 1] for i in range(nu)], O[nu:nu + 1]
+
+    def body(it, carry):
+        draw = make_draw(p, seed_ref, it)
+        s_pre = carry[:nx]
+
+        # Observation white noise feeds the policy and the record; the env
+        # state stays clean (envs/quadrotor.py _obs semantics).
+        if p.get("obs_noise_std", 0.0) > 0.0:
+            un = draw(2 * nx, 11.0)
+            s_pre = tuple(
+                s_pre[k] + p["obs_noise_std"]
+                * jnp.sqrt(-2.0 * jnp.log(1.0 - un[k]))
+                * jnp.cos(2.0 * math.pi * un[nx + k])
+                for k in range(nx)
+            )
+
+        means, value = forward(list(s_pre))
+
+        # Gaussian sampling (Box-Muller) + log-prob + action preprocessing.
+        u = draw(2 * nu, 7.0)
+        act_list, thrust_list = [], []
+        logp_m = jnp.zeros((1, BB), jnp.float32)
+        for i in range(nu):
+            u1 = 1.0 - u[i].reshape(1, BB)
+            u2 = u[nu + i].reshape(1, BB)
+            eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * math.pi * u2)
+            sd = jnp.exp(logstd_ref[i])
+            a_i = means[i] + sd * eps
+            act_list.append(a_i)
+            logp_m = logp_m - 0.5 * eps**2 - logstd_ref[i] - _HALF_LOG_2PI
+            if p["normalized"]:
+                t_i = (1.0 + p["norm_act_scale"] * jnp.clip(a_i, -1.0, 1.0)) \
+                    * p["hover_thrust"]
+            else:
+                t_i = jnp.clip(a_i, p["a_low"], p["a_high"])
+            thrust_list.append(t_i)
+        pol = jnp.concatenate(
+            thrust_list + act_list + [value, logp_m], axis=0
+        )  # (2*nu + 2, BB)
+        pol3 = pol.reshape(2 * nu + 2, sub, lanes)
+        thrust_rows = [pol3[i] for i in range(nu)]
+        act_rows = [pol3[nu + i] for i in range(nu)]
+        v_tile, logp_tile = pol3[2 * nu], pol3[2 * nu + 1]
+
+        new_carry, rew, done, trunc, violf, s_post = step_env_core(
+            p, carry, thrust_rows, it, draw, act_rows=act_rows
+        )
+        donef = done.astype(jnp.float32)
+        truncf = trunc.astype(jnp.float32)
+
+        slot = jax.lax.rem(it, 2)
+
+        @pl.when(it >= 2)
+        def _wait_prev():
+            pltpu.make_async_copy(
+                scratch_ref.at[slot], traj_ref.at[it - 2], sem_ref.at[slot]
+            ).wait()
+
+        record = jnp.stack(
+            list(s_pre)
+            + act_rows + [rew, donef, truncf, v_tile, logp_tile]
+            + [si * truncf for si in s_post],  # terminal obs, masked
+            axis=0,
+        )
+        scratch_ref[slot] = record
+        pltpu.make_async_copy(
+            scratch_ref.at[slot], traj_ref.at[it], sem_ref.at[slot]
+        ).start()
+        return new_carry
+
+    carry = jax.lax.fori_loop(0, p["steps"], body, carry)
+    for k in (p["steps"] - 2, p["steps"] - 1):
+        if k >= 0:
+            pltpu.make_async_copy(
+                scratch_ref.at[k % 2], traj_ref.at[k], sem_ref.at[k % 2]
+            ).wait()
+    out_ref[:] = jnp.stack(carry, axis=0)
+    del traj_rows  # layout documented for unpack_traj
+
+
+class FastPlanarQuadPolicyRollout:
+    """Policy-in-kernel planar-quad collection: one dispatch = T
+    policy-driven env steps for B envs, returning the full PPO trajectory
+    record.  API-compatible with fast_policy.FastPolicyRollout
+    (pack_weights / unpack_traj / observe / reset / states / run), so
+    controllers/ppo.py's fast collection drives any of the three engines
+    unchanged."""
+
+    def __init__(self, env, num_envs: int, steps_per_call: int,
+                 mlp_hidden: int = 64, mlp_act: str = "tanh",
+                 sub: int = 8, interpret: bool = False):
+        assert num_envs % (sub * 128) == 0, "num_envs must be a multiple of sub*128"
+        assert mlp_hidden <= 128, "dual-MLP pack assumes hidden <= 128"
+        self.env = env
+        self.B = num_envs
+        self.sub = sub
+        self.lanes = num_envs // sub
+        self.T = steps_per_call
+        self.H = mlp_hidden
+        self._auto_seed = 1
+        self.params = build_engine_params(env, steps_per_call, interpret,
+                                          allow_normalized=True)
+        self.params["mlp_act"] = mlp_act
+        self.params["_sub"] = sub
+        self.params["_lanes"] = self.lanes
+        self.nx = self.params["nx"]
+        self.nu = self.params["nu"]
+        self.obs_dim = self.nx
+        self.traj_rows = 2 * self.nx + self.nu + 5
+        self.n_rows = self.params["_L"]["NROWS"]
+        kern = functools.partial(_policy_rollout_kernel, p=dict(self.params))
+        Ln = self.lanes
+        spec = lambda rows: pl.BlockSpec(
+            (rows, sub, Ln), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+        self._call = jax.jit(
+            pl.pallas_call(
+                kern,
+                grid=(1,),
+                in_specs=[
+                    smem(),          # seed
+                    smem(),          # logstd (nu,)
+                    vmem(), vmem(),  # w1 (2H, nx), b1 (2H, 1)
+                    vmem(), vmem(),  # w2 (2H, 2H), b2 (2H, 1)
+                    vmem(), vmem(),  # w3 (8, 2H), b3 (8, 1)
+                    spec(self.n_rows),
+                ],
+                out_specs=[spec(self.n_rows), pl.BlockSpec(memory_space=pl.ANY)],
+                out_shape=[
+                    jax.ShapeDtypeStruct((self.n_rows, sub, Ln), jnp.float32),
+                    jax.ShapeDtypeStruct(
+                        (steps_per_call, self.traj_rows, sub, Ln), jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((2, self.traj_rows, sub, Ln), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+                interpret=interpret,
+            )
+        )
+
+    def reset(self, seed: int = 0):
+        return reset_rows(self.params, self.B, self.sub, self.lanes, seed)
+
+    def pack_weights(self, actor_params, critic_params, logstd):
+        """Flax MLP params -> fused dual-network matrices (actor rows
+        0..H-1, critic rows H..2H-1; output rows 0..nu-1 actor means, row
+        nu value, rest zero pad)."""
+        H, nu = self.H, self.nu
+        ap, cp = actor_params["params"], critic_params["params"]
+        w1 = jnp.concatenate(
+            [ap["Dense_0"]["kernel"].T, cp["Dense_0"]["kernel"].T], 0
+        )  # (2H, nx)
+        b1 = jnp.concatenate(
+            [ap["Dense_0"]["bias"], cp["Dense_0"]["bias"]], 0
+        )[:, None]
+        z = jnp.zeros((H, H), jnp.float32)
+        w2 = jnp.block([[ap["Dense_1"]["kernel"].T, z],
+                        [z, cp["Dense_1"]["kernel"].T]])  # (2H, 2H)
+        b2 = jnp.concatenate(
+            [ap["Dense_1"]["bias"], cp["Dense_1"]["bias"]], 0
+        )[:, None]
+        zh = jnp.zeros((nu, H), jnp.float32)
+        zh1 = jnp.zeros((1, H), jnp.float32)
+        w3 = jnp.concatenate([
+            jnp.concatenate([ap["Dense_2"]["kernel"].T, zh], 1),   # (nu, 2H)
+            jnp.concatenate([zh1, cp["Dense_2"]["kernel"].T], 1),  # (1, 2H)
+            jnp.zeros((8 - nu - 1, 2 * H), jnp.float32),
+        ], 0)  # (8, 2H)
+        b3 = jnp.concatenate([
+            ap["Dense_2"]["bias"], cp["Dense_2"]["bias"],
+            jnp.zeros(8 - nu - 1),
+        ])[:, None]
+        return (w1.astype(jnp.float32), b1.astype(jnp.float32),
+                w2.astype(jnp.float32), b2.astype(jnp.float32),
+                w3.astype(jnp.float32), b3.astype(jnp.float32),
+                jnp.asarray(logstd, jnp.float32))
+
+    def unpack_traj(self, traj):
+        """(T, traj_rows, 8, L) record -> PPO field dict, (T, B, ...)."""
+        T = traj.shape[0]
+        nx, nu = self.nx, self.nu
+        flat = traj.reshape(T, self.traj_rows, self.B)
+
+        def mat(sl):
+            return jnp.moveaxis(flat[:, sl], 1, 2)
+
+        return {
+            "obs": mat(slice(0, nx)),
+            "act": mat(slice(nx, nx + nu)),
+            "rew": flat[:, nx + nu],
+            "done": flat[:, nx + nu + 1],
+            "mask": 1.0 - flat[:, nx + nu + 1],
+            "trunc": flat[:, nx + nu + 2],
+            "v": flat[:, nx + nu + 3],
+            "logp": flat[:, nx + nu + 4],
+            "term_obs": mat(slice(nx + nu + 5, 2 * nx + nu + 5)),
+        }
+
+    def states(self, rows):
+        """(B, nx) state matrix from packed rows (jnp, jit-safe)."""
+        return jnp.moveaxis(rows[:self.nx].reshape(self.nx, self.B), 0, 1)
+
+    def observe(self, rows):
+        """(B, nx) observation (no goal-horizon support in this engine)."""
+        return self.states(rows)
+
+    def run(self, rows, weights, seed=None):
+        """One dispatch = T policy-driven env steps; returns
+        (new_state_rows, traj_record)."""
+        if seed is None:
+            seed = self._auto_seed
+            self._auto_seed += 1
+        if not isinstance(seed, jax.Array):
+            seed = jnp.asarray([seed], jnp.int32)
+        w1, b1, w2, b2, w3, b3, logstd = weights
+        return self._call(seed, logstd, w1, b1, w2, b2, w3, b3, rows)

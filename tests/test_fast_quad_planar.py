@@ -198,3 +198,64 @@ def test_input_constraint_violations_match_general_engine():
     np.testing.assert_array_equal(
         viol_fast, np.asarray(carry.stats.ep_violations))
     assert viol_fast.min() == 6
+
+
+def test_policy_kernel_forward_matches_xla():
+    """Planar-quad policy-in-kernel engine: in-kernel dual-MLP value/logp
+    equal the XLA actor/critic forward on the recorded observations and
+    actions (mirrors the cartpole/quad3d policy-kernel tests)."""
+    from safe_control_gym_tpu.controllers.ppo import PPO
+    from safe_control_gym_tpu.parallel.fast_quad_planar import (
+        FastPlanarQuadPolicyRollout,
+    )
+
+    env = make_quadrotor(_cfg(normalized_rl_action_space=True))
+    fp = FastPlanarQuadPolicyRollout(env, B, 8, interpret=True)
+    ppo = PPO(env, seed=0, rollout_batch_size=B, rollout_steps=8)
+    w = fp.pack_weights(ppo.state.ac.actor_params, ppo.state.ac.critic_params,
+                        ppo.state.ac.logstd)
+    rows = fp.reset(0)
+    new_rows, traj = fp.run(rows, w, seed=3)
+    d = fp.unpack_traj(traj)
+    for k, v in d.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    assert d["obs"].shape == (8, B, 6) and d["act"].shape == (8, B, 2)
+
+    obs = d["obs"][0]
+    np.testing.assert_allclose(
+        np.asarray(d["v"][0]), np.asarray(ppo._value(ppo.state.ac, obs)),
+        rtol=2e-4, atol=2e-4,
+    )
+    dist = ppo._dist(ppo.state.ac, obs)
+    lp = np.asarray(dist.log_prob(jnp.asarray(d["act"][0])))
+    np.testing.assert_allclose(
+        np.asarray(d["logp"][0]), lp, rtol=2e-3, atol=2e-3,
+    )
+    # Exponential RL reward in (0, 1].
+    r = np.asarray(d["rew"])
+    assert (r > 0).all() and (r <= 1.0).all()
+    # First-step obs equal the packed reset states (no noise configured).
+    np.testing.assert_allclose(obs, np.asarray(fp.states(rows)),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_ppo_fast_rollout_trains_planar_quad():
+    """PPO(use_fast_rollout) on a 2D quad dispatches to the planar policy
+    kernel and runs full train steps with finite losses."""
+    from safe_control_gym_tpu.controllers.ppo import PPO
+    from safe_control_gym_tpu.parallel.fast_quad_planar import (
+        FastPlanarQuadPolicyRollout,
+    )
+
+    env = make_quadrotor(_cfg(normalized_rl_action_space=True))
+    ppo = PPO(env, seed=0, rollout_batch_size=B, rollout_steps=8,
+              opt_epochs=2, mini_batch_size=B * 4,
+              use_fast_rollout=True, fast_interpret=True)
+    assert isinstance(ppo._fp, FastPlanarQuadPolicyRollout)
+    assert ppo._fu is None  # fast-update kernel is quad-3D specialized
+    s = ppo.state
+    for _ in range(2):
+        s, m = ppo._train_step(s)
+    assert int(jax.device_get(s.total_steps)) == 2 * B * 8
+    for k in ("policy_loss", "value_loss", "approx_kl"):
+        assert np.isfinite(float(jax.device_get(m[k]))), k
