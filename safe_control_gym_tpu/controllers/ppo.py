@@ -79,10 +79,11 @@ class PPOConfig:
     # asked for (the XLA update round-trips ~200 MB of activations per
     # 131072-sample minibatch; measured 25.6 -> 16.7 ms/train-step,
     # 21.3M -> 31.5M env-steps/s at B=4096 x T=128).  Exact gradients
-    # (tests/test_fast_update.py); requires the quad-3D 12-obs/4-act
-    # shape, tanh/relu MLPs, use_clipped_value=False.  "auto" (default)
-    # enables it on the TPU backend when those conditions hold; True
-    # forces it (asserts on violation); False keeps the XLA update.
+    # (tests/test_fast_update.py); requires tanh/relu MLPs and
+    # use_clipped_value=False (obs/act dims are kernel parameters —
+    # quad-3D, cartpole, and planar-quad shapes all covered).  "auto"
+    # (default) enables it on the TPU backend when those conditions hold;
+    # True forces it (asserts on violation); False keeps the XLA update.
     use_fast_update: Any = "auto"
     actor_lr: float = 3e-4
     critic_lr: float = 1e-3
@@ -235,7 +236,7 @@ class PPO(BaseController):
                 and not cfg.use_clipped_value
                 and not cfg.fused_update  # explicit A/B request wins over auto
                 and cfg.activation in ("tanh", "relu")
-                and obs_dim == 12 and act_dim == 4
+                and obs_dim <= 128 and act_dim <= 8
                 and mb % 8 == 0
                 # FastPPOUpdate chunks the minibatch at 4096 (VMEM limit);
                 # the minibatch must split into whole chunks.
@@ -245,12 +246,11 @@ class PPO(BaseController):
             from safe_control_gym_tpu.parallel.fast_update import FastPPOUpdate
 
             assert not cfg.use_clipped_value and cfg.activation in ("tanh", "relu")
-            assert obs_dim == 12 and act_dim == 4, \
-                "fast update kernel is specialized to the quad-3D shapes"
             assert cfg.mini_batch_size % 8 == 0
             self._fu = FastPPOUpdate(
                 cfg.mini_batch_size, cfg.hidden_dim, cfg.activation,
                 cfg.clip_param, interpret=self._fast_interpret,
+                obs_dim=obs_dim, act_dim=act_dim,
             )
         self._train_step_fn = self._make_train_step()
         self._train_step = jax.jit(self._train_step_fn)

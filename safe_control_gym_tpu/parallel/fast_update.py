@@ -41,15 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
 
-# Packed-field row offsets (ppo.update packs obs, act, v, logp, ret, adv).
-_OBS = slice(0, 12)
-_ACT = slice(12, 16)
-_LOGP = 17
-_RET = 18
-_ADV = 19
-F_ROWS = 20
-
-
 def _make_kernel_body(p):
     H = p["H"]
     CL = p["chunk_lanes"]  # lanes per chunk; chunk batch = 8 * CL
@@ -57,6 +48,16 @@ def _make_kernel_body(p):
     act_name = p["act"]
     clip = p["clip"]
     inv_n = 1.0 / p["mb_total"]
+    # Packed-field row offsets (ppo.update packs obs, act, v, logp, ret,
+    # adv); v (row nx+nu) is unused — the scope guard excludes
+    # use_clipped_value.
+    nx, nu = p["nx"], p["nu"]
+    F_ROWS = nx + nu + 4
+    _OBS = slice(0, nx)
+    _ACT = slice(nx, nx + nu)
+    _LOGP = nx + nu + 1
+    _RET = nx + nu + 2
+    _ADV = nx + nu + 3
 
     def act_fn(z):
         return jnp.tanh(z) if act_name == "tanh" else jnp.maximum(z, 0.0)
@@ -82,7 +83,7 @@ def _make_kernel_body(p):
         w1c, b1c = w1c_ref[:], b1c_ref[:]
         w2c, w2cT, b2c = w2c_ref[:], w2cT_ref[:], b2c_ref[:]
         w3c, w3cT, b3c = w3c_ref[:], w3cT_ref[:], b3c_ref[:]
-        logstd = logstd_ref[:]          # (4, 1)
+        logstd = logstd_ref[:]          # (nu, 1)
         inv_var = jnp.exp(-2.0 * logstd)
 
         for r in (g1a_ref, gb1a_ref, g2a_ref, gb2a_ref, g3a_ref, gb3a_ref,
@@ -119,7 +120,7 @@ def _make_kernel_body(p):
             C = 8 * CL
             flat = blk.reshape(F_ROWS, C)
             X = flat[_OBS]                   # (12, C)
-            A = flat[_ACT]                   # (4, C)
+            A = flat[_ACT]                   # (nu, C)
             logp_old = flat[_LOGP][None]
             ret = flat[_RET][None]
             adv = flat[_ADV][None]
@@ -129,7 +130,7 @@ def _make_kernel_body(p):
             a1 = act_fn(z1a)
             z2a = dot(w2a, a1) + b2a
             a2 = act_fn(z2a)
-            mean = dot(w3a, a2) + b3a        # (4, C)
+            mean = dot(w3a, a2) + b3a        # (nu, C)
 
             z1c = dot(w1c, X) + b1c
             c1 = act_fn(z1c)
@@ -157,7 +158,7 @@ def _make_kernel_body(p):
             w_pol = -inv_n * (take1 + (1.0 - take1) * inside) * ratio * adv
 
             # -- actor backward -------------------------------------------
-            gmean = w_pol * (diff * inv_var)          # (4, C)
+            gmean = w_pol * (diff * inv_var)          # (nu, C)
             g3a_ref[:, :] += dotT(gmean, a2)
             gb3a_ref[:, :] += jnp.sum(gmean, axis=1, keepdims=True)
             ga2 = dot(w3aT, gmean) * act_grad(a2, z2a)
@@ -210,23 +211,27 @@ class FastPPOUpdate:
     """Host wrapper: per-minibatch exact-PPO-gradient kernel."""
 
     def __init__(self, mb_size: int, hidden: int, act: str, clip_param: float,
-                 chunk: int = 4096, interpret: bool = False):
+                 chunk: int = 4096, interpret: bool = False,
+                 obs_dim: int = 12, act_dim: int = 4):
         chunk = min(chunk, mb_size)
         assert mb_size % chunk == 0 and chunk % 8 == 0
         self.mb = mb_size
         self.H = hidden
+        self.F = obs_dim + act_dim + 4
         p = dict(H=hidden, act=act, clip=clip_param, mb_total=mb_size,
+                 nx=obs_dim, nu=act_dim,
                  chunk_lanes=chunk // 8, n_chunks=mb_size // chunk)
         self.p = p
         body = _make_kernel_body(p)
         H = hidden
         CL = p["chunk_lanes"]
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        nx, nu = obs_dim, act_dim
         out_shapes = [
             jax.ShapeDtypeStruct(s, jnp.float32) for s in (
-                (H, 12), (H, 1), (H, H), (H, 1), (4, H), (4, 1),   # actor
-                (H, 12), (H, 1), (H, H), (H, 1), (1, H), (1, 1),   # critic
-                (4, 1),                                             # logstd
+                (H, nx), (H, 1), (H, H), (H, 1), (nu, H), (nu, 1),  # actor
+                (H, nx), (H, 1), (H, H), (H, 1), (1, H), (1, 1),    # critic
+                (nu, 1),                                            # logstd
                 (3, CL),                                            # loss sums
             )
         ]
@@ -238,7 +243,7 @@ class FastPPOUpdate:
                 out_specs=[vmem() for _ in out_shapes],
                 out_shape=out_shapes,
                 scratch_shapes=[
-                    pltpu.VMEM((2, F_ROWS, 8, CL), jnp.float32),
+                    pltpu.VMEM((2, self.F, 8, CL), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
                 interpret=interpret,
@@ -264,7 +269,7 @@ class FastPPOUpdate:
     def grads(self, mb_T, weight_ops):
         """mb_T: (F_ROWS, 8, mb/8) packed minibatch, batch on (sub, lanes).
 
-        Returns (actor_grad_tree, critic_grad_tree, glogstd (4,),
+        Returns (actor_grad_tree, critic_grad_tree, glogstd (act_dim,),
         loss_sums (3,) = [sum min_surr, sum (logp_old - logp),
         sum (v - ret)^2])."""
         outs = self._call(mb_T, *weight_ops)

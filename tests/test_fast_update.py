@@ -54,24 +54,27 @@ def test_fast_update_matches_xla_training():
                                    rtol=2e-3, atol=1e-6, err_msg=k)
 
 
-def test_fast_update_multichunk_grads():
+@pytest.mark.parametrize("nx,nu", [(12, 4), (4, 1), (6, 2)])
+def test_fast_update_multichunk_grads(nx, nu):
     """Chunked accumulation (mb > chunk) produces the same gradients as a
-    direct XLA value_and_grad on one synthetic minibatch."""
-    from safe_control_gym_tpu.parallel.fast_update import F_ROWS, FastPPOUpdate
+    direct XLA value_and_grad on one synthetic minibatch — for the quad-3D,
+    cartpole, and planar-quad obs/act shapes."""
+    from safe_control_gym_tpu.parallel.fast_update import FastPPOUpdate
     from safe_control_gym_tpu.models.distributions import Normal
     from safe_control_gym_tpu.models.networks import MLP
 
     H, mb, chunk = 64, 512, 128
-    actor = MLP(4, (H, H), act="tanh", out_gain=0.01)
+    F_ROWS = nx + nu + 4
+    actor = MLP(nu, (H, H), act="tanh", out_gain=0.01)
     critic = MLP(1, (H, H), act="tanh")
     k = jax.random.key(3)
-    ap = actor.init(k, jnp.zeros((1, 12)))
-    cp = critic.init(jax.random.fold_in(k, 1), jnp.zeros((1, 12)))
-    logstd = -0.5 * jnp.ones(4)
+    ap = actor.init(k, jnp.zeros((1, nx)))
+    cp = critic.init(jax.random.fold_in(k, 1), jnp.zeros((1, nx)))
+    logstd = -0.5 * jnp.ones(nu)
 
     rng = np.random.default_rng(0)
-    obs = rng.normal(size=(mb, 12)).astype(np.float32)
-    act = rng.normal(size=(mb, 4)).astype(np.float32) * 0.5
+    obs = rng.normal(size=(mb, nx)).astype(np.float32)
+    act = rng.normal(size=(mb, nu)).astype(np.float32) * 0.5
     logp_old = rng.normal(size=(mb,)).astype(np.float32) * 0.1 - 4.0
     ret = rng.normal(size=(mb,)).astype(np.float32)
     adv = rng.normal(size=(mb,)).astype(np.float32)
@@ -93,7 +96,8 @@ def test_fast_update_multichunk_grads():
     ga_ref, gl_ref, gc_ref = jax.grad(losses, argnums=(0, 1, 2))(
         ap, logstd, cp)
 
-    fu = FastPPOUpdate(mb, H, "tanh", clip, chunk=chunk, interpret=True)
+    fu = FastPPOUpdate(mb, H, "tanh", clip, chunk=chunk, interpret=True,
+                       obs_dim=nx, act_dim=nu)
     packed = np.concatenate(
         [obs, act, v_old[:, None], logp_old[:, None], ret[:, None],
          adv[:, None]], axis=1)
