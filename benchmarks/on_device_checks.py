@@ -165,10 +165,13 @@ def main(out=None):
             r = {"error": str(e)[:300]}
         record["engines"][name] = r
         print(json.dumps({name: r}), flush=True)
-    worst = max(
-        (v.get("rollout_rel_err", float("inf"))
-         for v in record["engines"].values()), default=float("inf"))
+    errs = [v["rollout_rel_err"] for v in record["engines"].values()
+            if "rollout_rel_err" in v]
+    # None (JSON null) when any engine failed — float('inf') would emit the
+    # non-standard Infinity token and make the failure artifact unparseable.
+    worst = max(errs) if len(errs) == len(record["engines"]) else None
     record["value"] = worst
+    record["all_engines_ran"] = len(errs) == len(record["engines"])
     print(json.dumps({"metric": record["metric"], "value": worst}))
     if out:
         with open(out, "w") as f:

@@ -33,9 +33,6 @@ from jax.experimental.pallas import tpu as pltpu
 from safe_control_gym_tpu.envs.constraints import box_bounds_view
 from safe_control_gym_tpu.parallel.fast_env import _STATS_KEYS, eval_curve, make_draw
 
-_AXES = {"x": 0, "y": 1, "z": 2}
-
-
 def _nx_nu(quad_type: int):
     return (2, 1) if int(quad_type) == 1 else (6, 2)
 
@@ -84,8 +81,16 @@ def supports(cfg, allow_normalized: bool = False) -> bool:
         and _scalar(obs_d[0].get("std", 1.0))
         and "mask" not in obs_d[0]
     )
+    # The rl_reward path applies ONE scalar action weight across dims; a
+    # per-dim weight vector must fall back unless uniform (fast_env.py has
+    # the same gate; the quadratic cost's r_weight IS per-dim in-kernel).
+    act_w = np.asarray(
+        1e-4 if cfg.rew_act_weight is None else cfg.rew_act_weight, dtype=float
+    ).ravel()
+    act_w_ok = act_w.size == 1 or bool(np.all(act_w == act_w[0]))
     return (
-        cfg.physics in ("pyb", "dyn")
+        act_w_ok
+        and cfg.physics in ("pyb", "dyn")
         and cfg.cost in ("rl_reward", "quadratic")
         and (allow_normalized or not cfg.normalized_rl_action_space)
         and (cfg.task == "stabilization"
@@ -363,6 +368,10 @@ def build_engine_params(env, steps_per_call: int, interpret: bool,
     act_noise_std = (
         float(np.asarray(act_d[0].get("std", 1.0), float).ravel()[0]) if act_d else 0.0
     )
+    obs_d = (cfg.disturbances or {}).get("observation")
+    obs_noise_std = (
+        float(np.asarray(obs_d[0].get("std", 1.0), float).ravel()[0]) if obs_d else 0.0
+    )
 
     # Nominal inertial properties with override (quadrotor.py:241-256).
     nom_mass, nom_j = Q.MASS, list(Q.J_DIAG)
@@ -387,12 +396,25 @@ def build_engine_params(env, steps_per_call: int, interpret: bool,
                               np.asarray(init_state, float)))
     labels = Q.INIT_LABELS[Q.QuadType(int(cfg.quad_type))]
     nominal = [nom_mass, *nom_j] + [float(init_state.get(n, 0.0)) for n in labels]
-    inertial = {**Q._DEFAULT_INERTIAL_RAND,
-                **(cfg.inertial_prop_randomization_info or {})} \
-        if cfg.randomized_inertial_prop else {}
-    init_rand = {**Q._DEFAULT_INIT_RAND,
-                 **(cfg.init_state_randomization_info or {})} \
-        if cfg.randomized_init else {}
+    # Randomization infos REPLACE the defaults when provided, and the
+    # defaults are filtered to this quad type's fields — the quadrotor
+    # env's semantics (quadrotor.py init_rand/inertial_rand), unlike
+    # cartpole's merge.
+    inertial = {}
+    if cfg.randomized_inertial_prop:
+        if cfg.inertial_prop_randomization_info:
+            inertial = dict(cfg.inertial_prop_randomization_info)
+        else:
+            keep = ("M",) if nx == 2 else ("M", "Iyy")
+            inertial = {k: v for k, v in Q._DEFAULT_INERTIAL_RAND.items()
+                        if k in keep}
+    init_rand = {}
+    if cfg.randomized_init:
+        if cfg.init_state_randomization_info:
+            init_rand = dict(cfg.init_state_randomization_info)
+        else:
+            init_rand = {k: v for k, v in Q._DEFAULT_INIT_RAND.items()
+                         if k in labels}
     names = ["M", "Ixx", "Iyy", "Izz"] + list(labels)
     infos = [inertial] * 4 + [init_rand] * nx
     lo = [float(i[n]["low"]) if n in i else 0.0 for n, i in zip(names, infos)]
@@ -475,6 +497,7 @@ def build_engine_params(env, steps_per_call: int, interpret: bool,
         stab_tol=float(ti.get("stabilization_goal_tolerance", 0.0)),
         impulse=impulse,
         act_noise_std=act_noise_std,
+        obs_noise_std=obs_noise_std,
         task=task, x_goal=x_goal,
         traj_type=traj_type, traj_w=traj_w, traj_scale=traj_scale,
         traj_period=float(period),

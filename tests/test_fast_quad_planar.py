@@ -259,3 +259,67 @@ def test_ppo_fast_rollout_trains_planar_quad():
     assert int(jax.device_get(s.total_steps)) == 2 * B * 8
     for k in ("policy_loss", "value_loss", "approx_kl"):
         assert np.isfinite(float(jax.device_get(m[k]))), k
+
+
+def test_supports_rejects_nonuniform_act_weight():
+    """rl_reward applies one scalar action weight in-kernel; per-dim
+    vectors must fall back to the general engine unless uniform."""
+    assert not supports(_cfg(rew_act_weight=[1.0, 0.1]))
+    assert supports(_cfg(rew_act_weight=[0.1, 0.1]))
+
+
+def test_partial_randomization_info_replaces_defaults():
+    """The quadrotor env REPLACES default randomization infos with the
+    user's dict (quadrotor.py init_rand/inertial_rand) — a partial
+    override must leave the other fields un-randomized in BOTH engines."""
+    cfg = _cfg(randomized_init=False,
+               init_state=[0.0, 0.0, 1.0, 0.0, 0.0, 0.0],
+               inertial_prop_randomization_info={
+                   "M": {"distrib": "uniform", "low": 0.022, "high": 0.032}})
+    env = make_quadrotor(cfg)
+    vec = make_vec_env(env, B)
+    state, _, _ = jax.jit(vec.reset)(jax.random.key(0))
+    fr = FastPlanarQuadRollout(env, B, steps_per_call=4, interpret=True)
+    rows0 = fr.reset(seed=0)
+    L = fr.params["_L"]
+    # Iyy stays nominal everywhere; mass draws match bit-exactly.
+    from safe_control_gym_tpu.envs.quadrotor import J_DIAG
+    iyy_gen = np.asarray(state.j_diag)[:, 1]
+    np.testing.assert_array_equal(iyy_gen, np.full(B, J_DIAG[1], np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(rows0[L["IYY"]]).reshape(B), iyy_gen)
+    np.testing.assert_allclose(
+        np.asarray(rows0[L["MASS"]]).reshape(B), np.asarray(state.mass),
+        rtol=1e-6)
+    assert np.asarray(state.mass).std() > 1e-4  # M really randomized
+
+
+def test_policy_kernel_applies_obs_noise():
+    """Configured observation white noise feeds the in-kernel policy and
+    the recorded obs (the env state stays clean) — it must not be
+    silently dropped."""
+    from safe_control_gym_tpu.parallel.fast_quad_planar import (
+        FastPlanarQuadPolicyRollout,
+    )
+
+    cfg = _cfg(normalized_rl_action_space=True, randomized_init=False,
+               init_state=[0.0, 0.0, 1.0, 0.0, 0.0, 0.0],
+               disturbances={"observation": (
+                   {"disturbance_func": "white_noise", "std": 0.05},)})
+    assert supports(cfg, allow_normalized=True)
+    env = make_quadrotor(cfg)
+    fp = FastPlanarQuadPolicyRollout(env, B, 4, interpret=True)
+    assert fp.params["obs_noise_std"] == 0.05
+    from safe_control_gym_tpu.controllers.ppo import PPO
+
+    ppo = PPO(env, seed=0, rollout_batch_size=B, rollout_steps=4)
+    w = fp.pack_weights(ppo.state.ac.actor_params, ppo.state.ac.critic_params,
+                        ppo.state.ac.logstd)
+    rows = fp.reset(0)
+    _, traj = fp.run(rows, w, seed=3)
+    d = fp.unpack_traj(traj)
+    clean = np.asarray(fp.states(rows))
+    noisy = np.asarray(d["obs"][0])
+    resid = noisy - clean
+    assert np.abs(resid).max() > 1e-3  # noise present
+    assert abs(resid.std() - 0.05) < 0.01  # ~N(0, 0.05)
