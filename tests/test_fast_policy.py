@@ -205,7 +205,7 @@ def test_goal_horizon_obs_in_kernel():
 
 def test_goal_horizon_ppo_trains_and_stab_variant():
     """PPO with use_fast_rollout trains on a goal-horizon config (fast
-    update auto-falls back to the XLA path), and the stabilization variant
+    update kernel engages on the extended obs dim), and the stabilization variant
     appends the static goal once (mul=2)."""
     env = make_quadrotor(QuadrotorConfig(
         quad_type=3, ctrl_freq=60, pyb_freq=240, episode_len_sec=2,
@@ -219,7 +219,7 @@ def test_goal_horizon_ppo_trains_and_stab_variant():
     ppo = PPO(env, seed=0, rollout_batch_size=B, rollout_steps=4,
               opt_epochs=2, mini_batch_size=B * 2,
               use_fast_rollout=True, fast_interpret=True)
-    assert ppo._fu is None  # fast-update kernel is 12-obs specialized
+    assert ppo._fu is not None  # generalized update kernel covers goal-horizon obs
     s, m = ppo._train_step(ppo.state)
     for k in ("policy_loss", "value_loss", "approx_kl"):
         assert np.isfinite(float(jax.device_get(m[k]))), k
