@@ -18,9 +18,19 @@ same record; vs_baseline is value / 1e7 (the BASELINE.json north-star).
 """
 
 import json
+import os
 import time
 
 import jax
+
+# The container pins the platform via sitecustomize before env vars are
+# read, so JAX_PLATFORMS alone cannot redirect this script.  SCG_PLATFORM
+# is an explicit escape hatch (CPU smoke runs of the full bench path);
+# unset, the pinned (TPU-tunnel) platform is used.
+_PLATFORM_OVERRIDE = os.environ.get("SCG_PLATFORM")
+if _PLATFORM_OVERRIDE:
+    jax.config.update("jax_platforms", _PLATFORM_OVERRIDE)
+
 import jax.numpy as jnp
 
 from safe_control_gym_tpu.envs.quadrotor import QuadrotorConfig, make_quadrotor
@@ -364,7 +374,54 @@ def regression_deltas(record, prev):
     return deltas, flagged
 
 
+def probe_backend(timeout_s=150):
+    """Return the live platform name, or None if device init hangs.
+
+    The container pins the platform to the tunneled TPU; when the tunnel is
+    down, the first jax op blocks forever with no exception to catch.  Probe
+    device init in a CHILD process under a hard timeout so a dead tunnel
+    degrades to an explicit artifact line instead of the driver's bench pass
+    hanging.  The child exits before the parent touches the device, so the
+    one-process-per-TPU rule is respected.
+    """
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import os, jax\n"
+        "p = os.environ.get('SCG_PLATFORM')\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
+        "print(jax.devices()[0].platform)"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+            env=os.environ,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            return out.stdout.strip()
+    except subprocess.TimeoutExpired:
+        pass
+    return None
+
+
 def main():
+    platform = probe_backend()
+    if platform is None:
+        # Dead tunnel: emit a parseable, honest record rather than hanging
+        # the driver's bench pass.  value=0 cannot be mistaken for a result.
+        print(json.dumps({
+            "metric": "env_steps_per_sec_per_chip_quad3d_4096",
+            "value": 0,
+            "unit": "env-steps/s",
+            "vs_baseline": 0.0,
+            "error": "device backend unavailable (init timed out; TPU tunnel down?)",
+        }))
+        return
     run, carry = build()
     # Warmup / compile (twice: first output's shardings retrace once).
     carry = run(carry)
@@ -409,6 +466,7 @@ def main():
         "unit": "env-steps/s",
         "vs_baseline": round(headline / BASELINE_TARGET, 4),
         "engine": "fast_rollout" if fast is not None else "general",
+        "platform": platform,
         "general_engine_value": round(general, 1),
         # Closed-loop: PPO actor+critic forward + sampling in-kernel
         # each step, full trajectory recorded (the RL collection

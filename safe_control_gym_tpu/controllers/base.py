@@ -40,6 +40,47 @@ class BaseController:
     def learn(self, **kwargs):
         """Train loop; model-based controllers are no-ops."""
 
+    # -- chunked training dispatch ------------------------------------------
+    # On remote/tunneled devices each dispatch pays a ~5-8 ms round trip, so
+    # a one-dispatch-per-train-step loop caps throughput regardless of device
+    # time (docs/PERF.md round-3 RL section).  Any learner that stores its
+    # pure step as ``self._train_step_fn`` gets an n-step scan for free.
+    def train_many(self, n: int):
+        """Jitted n-step training chunk: ``lax.scan`` of the full train step.
+
+        Returns ``(state, metrics)`` with the LAST step's metrics (same
+        contract as one train step)."""
+        cache = getattr(self, "_train_many_cache", None)
+        if cache is None:
+            cache = self._train_many_cache = {}
+        if n not in cache:
+            step = self._train_step_fn
+
+            def f(state):
+                def body(st, _):
+                    st, m = step(st)
+                    return st, m
+
+                state, ms = jax.lax.scan(body, state, None, length=n)
+                return state, jax.tree.map(lambda x: x[-1], ms)
+
+            cache[n] = jax.jit(f)
+        return cache[n]
+
+    def _learn_chunked(self, n_iters: int, chunk: int = 8):
+        """Advance ``self.state`` by ``n_iters`` train steps using chunked
+        dispatch: full chunks via ``train_many(chunk)`` (one round trip per
+        ``chunk`` steps, one extra compile), remainder via the single-step
+        jit already compiled.  Returns the last metrics PyTree."""
+        metrics = {}
+        if chunk > 1:
+            many = self.train_many(chunk)
+            for _ in range(n_iters // chunk):
+                self.state, metrics = many(self.state)
+        for _ in range(n_iters % chunk if chunk > 1 else n_iters):
+            self.state, metrics = self._train_step(self.state)
+        return metrics
+
     def select_action(self, obs, info=None):
         raise NotImplementedError
 

@@ -109,7 +109,8 @@ class DDPG(BaseController):
             key=kcarry,
             total_steps=jnp.zeros((), jnp.int32),
         )
-        self._train_step = jax.jit(self._make_train_step())
+        self._train_step_fn = self._make_train_step()
+        self._train_step = jax.jit(self._train_step_fn)
 
     def _to_box(self, a):
         return self.act_lo + (a + 1.0) * 0.5 * (self.act_hi - self.act_lo)
@@ -196,10 +197,8 @@ class DDPG(BaseController):
 
     def learn(self, max_env_steps: Optional[int] = None, **kwargs):
         steps_target = max_env_steps or self.cfg.max_env_steps
-        metrics = {}
-        for _ in range(max(steps_target // self.cfg.train_interval, 1)):
-            self.state, metrics = self._train_step(self.state)
-        return jax.device_get(metrics)
+        n_iters = max(steps_target // self.cfg.train_interval, 1)
+        return jax.device_get(self._learn_chunked(n_iters))
 
     def select_action(self, obs, info=None):
         return np.asarray(self._to_box(self.actor.apply(self.state.actor_params, jnp.asarray(obs))))

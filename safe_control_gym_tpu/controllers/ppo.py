@@ -254,25 +254,7 @@ class PPO(BaseController):
             )
         self._train_step_fn = self._make_train_step()
         self._train_step = jax.jit(self._train_step_fn)
-        self._train_many_cache = {}
-
-    def train_many(self, n: int):
-        """Jitted n-step training chunk: ``lax.scan`` of the full train step.
-
-        One dispatch per n train steps — on remote/tunneled devices the
-        per-dispatch round trip (~5-8 ms here) otherwise caps training
-        throughput regardless of device time.  Returns (state, metrics) with
-        the LAST step's metrics (same contract as ``_train_step``)."""
-        if n not in self._train_many_cache:
-            def f(state):
-                def body(st, _):
-                    st, m = self._train_step_fn(st)
-                    return st, m
-                state, ms = jax.lax.scan(body, state, None, length=n)
-                return state, jax.tree.map(lambda x: x[-1], ms)
-
-            self._train_many_cache[n] = jax.jit(f)
-        return self._train_many_cache[n]
+        # train_many(n) chunked dispatch comes from BaseController.
 
     # -- pure functions -------------------------------------------------------
     def _dist(self, ac: ActorCritic, obs):
@@ -669,11 +651,13 @@ class PPO(BaseController):
         steps_target = max_env_steps or self.cfg.max_env_steps
         per_iter = self.cfg.rollout_batch_size * self.cfg.rollout_steps
         n_iters = max(steps_target // per_iter, 1)
+        if log_fn is None:
+            # No per-iteration callback: amortize the dispatch round trip.
+            return jax.device_get(self._learn_chunked(n_iters))
         metrics = {}
         for i in range(n_iters):
             self.state, metrics = self._train_step(self.state)
-            if log_fn is not None:
-                log_fn(int(jax.device_get(self.state.total_steps)), jax.device_get(metrics))
+            log_fn(int(jax.device_get(self.state.total_steps)), jax.device_get(metrics))
         return jax.device_get(metrics)
 
     def select_action(self, obs, info=None):

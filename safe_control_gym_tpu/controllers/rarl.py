@@ -122,6 +122,26 @@ class RARL(BaseController):
         )
         self._train_pro = jax.jit(self._make_phase(update_adversary=False))
         self._train_adv = jax.jit(self._make_phase(update_adversary=True))
+        # One full protagonist/adversary alternation cycle as a single pure
+        # step: learn() then pays one dispatch per cycle (chunkable further
+        # via BaseController.train_many) instead of one per phase.
+        self._train_step_fn = self._make_cycle()
+        self._train_step = jax.jit(self._train_step_fn)
+
+    def _make_cycle(self):
+        pro_fn = self._make_phase(update_adversary=False)
+        adv_fn = self._make_phase(update_adversary=True)
+        cfg = self.cfg
+
+        def cycle(state: RARLState):
+            metrics = {"kl": jnp.zeros(())}
+            for _ in range(cfg.num_pro_iters):
+                state, metrics = pro_fn(state)
+            for _ in range(cfg.num_adv_iters):
+                state, _ = adv_fn(state)
+            return state, metrics
+
+        return cycle
 
     # -- shared PPO machinery ---------------------------------------------------
     def _dist(self, actor_def, agent: Agent, obs):
@@ -274,13 +294,8 @@ class RARL(BaseController):
         cfg = self.cfg
         steps_target = max_env_steps or cfg.max_env_steps
         per_cycle = (cfg.num_pro_iters + cfg.num_adv_iters) * cfg.rollout_batch_size * cfg.rollout_steps
-        metrics = {}
-        for _ in range(max(steps_target // per_cycle, 1)):
-            for _ in range(cfg.num_pro_iters):
-                self.state, metrics = self._train_pro(self.state)
-            for _ in range(cfg.num_adv_iters):
-                self.state, _ = self._train_adv(self.state)
-        return jax.device_get(metrics)
+        n_cycles = max(steps_target // per_cycle, 1)
+        return jax.device_get(self._learn_chunked(n_cycles, chunk=4))
 
     def select_action(self, obs, info=None):
         mean = self.actor.apply(self.state.pro.actor_params, jnp.asarray(obs))

@@ -165,7 +165,8 @@ class SAC(BaseController):
             key=kcarry,
             total_steps=jnp.zeros((), jnp.int32),
         )
-        self._train_step = jax.jit(self._make_train_step())
+        self._train_step_fn = self._make_train_step()
+        self._train_step = jax.jit(self._train_step_fn)
 
     def _to_box(self, a):
         return self.act_lo + (a + 1.0) * 0.5 * (self.act_hi - self.act_lo)
@@ -279,10 +280,8 @@ class SAC(BaseController):
     def learn(self, max_env_steps: Optional[int] = None, **kwargs):
         steps_target = max_env_steps or self.cfg.max_env_steps
         per_iter = self.cfg.train_interval
-        metrics = {}
-        for _ in range(max(steps_target // per_iter, 1)):
-            self.state, metrics = self._train_step(self.state)
-        return jax.device_get(metrics)
+        n_iters = max(steps_target // per_iter, 1)
+        return jax.device_get(self._learn_chunked(n_iters))
 
     def select_action(self, obs, info=None):
         a = self.actor.mode(self.state.actor_params, jnp.asarray(obs))

@@ -131,8 +131,13 @@ class SafeExplorerPPO(PPO):
         loss = self.safety_layer.pretrain(
             self.vec, self._cc, steps=self._pretrain_steps, seed=self.seed
         )
-        # Re-jit the train step so the filter closes over trained params.
-        self._train_step = jax.jit(self._make_train_step())
+        # Re-trace the train step so the filter closes over trained params
+        # (they are baked in as constants at trace time); the chunked
+        # train_many cache scans _train_step_fn, so refresh both and drop
+        # any chunks traced against the stale step.
+        self._train_step_fn = self._make_train_step()
+        self._train_step = jax.jit(self._train_step_fn)
+        self._train_many_cache = {}
         return {"pretrain_loss": loss}
 
     def learn(self, max_env_steps=None, **kwargs):

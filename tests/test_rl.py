@@ -242,3 +242,26 @@ def test_ppo_train_many_chunk_matches_loop():
     np.testing.assert_allclose(
         float(jax.device_get(m_loop["policy_loss"])),
         float(jax.device_get(m_chunk["policy_loss"])), rtol=1e-4)
+
+
+@pytest.mark.parametrize("cls,kw", [
+    (SAC, dict(rollout_batch_size=4, train_interval=40, warm_up_steps=80,
+               train_batch_size=64, max_buffer_size=2000, updates_per_step=2)),
+    (DDPG, dict(rollout_batch_size=4, train_interval=40, warm_up_steps=80,
+                train_batch_size=64, max_buffer_size=2000, updates_per_step=2)),
+])
+def test_offpolicy_train_many_chunk_matches_loop(cls, kw):
+    """The BaseController train_many scan (chunked dispatch, one round trip
+    per n train steps) advances SAC/DDPG exactly like n sequential steps."""
+    env = _cartpole()
+    agent = cls(env, seed=0, **kw)
+    s_loop = agent.state
+    for _ in range(3):
+        s_loop, m_loop = agent._train_step(s_loop)
+    s_chunk, m_chunk = agent.train_many(3)(agent.state)
+    for xa, xb in zip(jax.tree.leaves(jax.device_get(s_loop.critic_params)),
+                      jax.tree.leaves(jax.device_get(s_chunk.critic_params))):
+        np.testing.assert_allclose(xa, xb, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        float(jax.device_get(m_loop["critic_loss"])),
+        float(jax.device_get(m_chunk["critic_loss"])), rtol=1e-4)
