@@ -1,0 +1,120 @@
+"""Competition robustness sweep: completion rates across spawn seeds.
+
+Level 2/3 randomize gate/obstacle poses and the initial state from the
+config seed, and a fraction of spawns legitimately die within ~10 steps
+(the drone spawns ~1 cm from the y kill boundary with random tilt) — the
+pinned-seed competition tests prove capability, not robustness.  This
+harness sweeps seeds through the FULL firmware-in-the-loop stack
+(reference counterpart: the episode-stats aggregation in
+getting_started.py:318-338 run over many trials) and records per-level,
+per-racing-path completion/collision rates as one JSON artifact.
+
+Usage (CPU, ~2 min per episode — run in background):
+    python -u benchmarks/competition_rates.py --seeds 8 \
+        --out COMPETITION_r03.json
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # orchestration-bound; see docs
+
+sys.path.insert(0, ".")
+
+
+def sweep(level: int, use_mpcc: bool, seeds, episode_len=None, verbose=False):
+    import yaml
+
+    from safe_control_gym_tpu.competition.getting_started import run
+
+    path = f"safe_control_gym_tpu/competition/levels/level{level}.yaml"
+    with open(path) as f:
+        base = yaml.safe_load(f)["quadrotor_config"]
+    if episode_len:
+        base["episode_len_sec"] = episode_len
+    n_gates = len(base.get("gates") or [])
+    rows = []
+    for s in seeds:
+        cfg = dict(base)
+        cfg["seed"] = int(s)
+        t0 = time.time()
+        try:
+            stats = run(cfg, num_episodes=1, use_firmware=True,
+                        use_mpcc=use_mpcc, verbose=False)[0]
+        except Exception as e:  # a crash is a data point, not a sweep abort
+            stats = {"error": f"{type(e).__name__}: {e}", "gates_passed": 0,
+                     "collisions": -1, "reward": float("nan")}
+        stats["seed"] = int(s)
+        stats["wall_s"] = round(time.time() - t0, 1)
+        rows.append(stats)
+        if verbose:
+            print(f"level{level} mpcc={use_mpcc} seed={s}: "
+                  f"gates={stats.get('gates_passed')} "
+                  f"collisions={stats.get('collisions')} "
+                  f"({stats['wall_s']}s)", flush=True)
+    ok = [r for r in rows if "error" not in r]
+    complete = [r for r in ok if r.get("gates_passed", 0) >= n_gates]
+    return {
+        "level": level,
+        "use_mpcc": use_mpcc,
+        "n_gates": n_gates,
+        "n_seeds": len(seeds),
+        "completion_rate": round(len(complete) / max(len(seeds), 1), 3),
+        "mean_gates": round(
+            sum(r.get("gates_passed", 0) for r in rows) / max(len(rows), 1), 2
+        ),
+        "collision_rate": round(
+            sum(1 for r in ok if r.get("collisions", 0) > 0)
+            / max(len(seeds), 1), 3,
+        ),
+        "errors": sum(1 for r in rows if "error" in r),
+        "per_seed": rows,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=8,
+                    help="seeds 0..N-1 per (level, path) cell")
+    ap.add_argument("--levels", default="0,2,3")
+    ap.add_argument("--spline-levels", default="2",
+                    help="levels to ALSO sweep with the spline path "
+                         "(use_mpcc=False) for comparison")
+    ap.add_argument("--episode-len", type=float, default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    seeds = list(range(args.seeds))
+    cells = []
+    for lv in (int(x) for x in args.levels.split(",") if x != ""):
+        cells.append((lv, True))
+    for lv in (int(x) for x in args.spline_levels.split(",") if x != ""):
+        cells.append((lv, False))
+
+    results = [
+        sweep(lv, mpcc, seeds, episode_len=args.episode_len,
+              verbose=args.verbose)
+        for lv, mpcc in cells
+    ]
+    artifact = {
+        "metric": "competition_completion_rates",
+        "seeds_per_cell": args.seeds,
+        "note": ("full firmware-in-the-loop episodes on CPU; spawn-seed "
+                 "roulette is part of the benchmark (see docs/PARITY.md); "
+                 "completion = all gates passed in one episode"),
+        "cells": results,
+    }
+    line = json.dumps(artifact)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

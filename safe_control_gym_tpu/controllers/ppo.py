@@ -178,7 +178,12 @@ class PPO(BaseController):
                     mlp_hidden=cfg.hidden_dim, mlp_act=cfg.activation,
                     interpret=self._fast_interpret,
                 )
-            elif int(getattr(env.config, "quad_type", 3)) in (1, 2):
+            elif not hasattr(env.config, "quad_type"):
+                raise AssertionError(
+                    "use_fast_rollout supports CartPole and Quadrotor "
+                    f"configs only, got {type(env.config).__name__}"
+                )
+            elif int(env.config.quad_type) in (1, 2):
                 from safe_control_gym_tpu.parallel.fast_quad_planar import (
                     FastPlanarQuadPolicyRollout,
                 )
@@ -211,7 +216,9 @@ class PPO(BaseController):
             assert obs_dim == self._fp.obs_dim, \
                 (obs_dim, self._fp.obs_dim)
             env_state = self._fp.reset(seed)
-            obs = self._fp.observe(env_state)
+            # Initial obs carries the configured obs noise, like the general
+            # engine's reset (quadrotor._obs of the reset state).
+            obs = self._fp.observe(env_state, key=k3)
         else:
             env_state, obs, _ = jax.jit(self.vec.reset)(k3)
         self.state = PPOState(
@@ -245,6 +252,11 @@ class PPO(BaseController):
         if use_fu:
             from safe_control_gym_tpu.parallel.fast_update import FastPPOUpdate
 
+            # The two update rewrites are mutually exclusive: fused_update is
+            # the XLA 2H-wide A/B path, and silently preferring the Pallas
+            # kernel would misattribute its numbers.
+            assert not cfg.fused_update, \
+                "use_fast_update=True conflicts with fused_update=True"
             assert not cfg.use_clipped_value and cfg.activation in ("tanh", "relu")
             assert cfg.mini_batch_size % 8 == 0
             self._fu = FastPPOUpdate(
@@ -314,7 +326,7 @@ class PPO(BaseController):
         def collect_fast(state: PPOState):
             """Whole-rollout Pallas collection (one kernel dispatch)."""
             fp = self._fp
-            key, k_seed = jax.random.split(state.key)
+            key, k_seed, k_obs = jax.random.split(state.key, 3)
             seed = jax.random.randint(k_seed, (1,), 0, jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
             w1, b1, w2, b2, w3, b3, logstd = fp.pack_weights(
@@ -338,7 +350,11 @@ class PPO(BaseController):
                 "logp": d["logp"],
                 "terminal_v": term_v,
             }
-            state = state.replace(env_state=rows, obs=fp.observe(rows), key=key)
+            # The bootstrap obs carries the configured obs noise like the
+            # general engine's state.obs (quadrotor._obs of the final state).
+            state = state.replace(
+                env_state=rows, obs=fp.observe(rows, key=k_obs), key=key
+            )
             return state, roll
 
         def gae(roll, last_val):

@@ -120,17 +120,18 @@ class RARL(BaseController):
             pro=pro, adv=adv, env_state=env_state, obs=obs, key=ks[5],
             total_steps=jnp.zeros((), jnp.int32),
         )
-        self._train_pro = jax.jit(self._make_phase(update_adversary=False))
-        self._train_adv = jax.jit(self._make_phase(update_adversary=True))
+        pro_fn = self._make_phase(update_adversary=False)
+        adv_fn = self._make_phase(update_adversary=True)
+        # Per-phase entry points (single-phase stepping in tests/analysis).
+        self._train_pro = jax.jit(pro_fn)
+        self._train_adv = jax.jit(adv_fn)
         # One full protagonist/adversary alternation cycle as a single pure
         # step: learn() then pays one dispatch per cycle (chunkable further
         # via BaseController.train_many) instead of one per phase.
-        self._train_step_fn = self._make_cycle()
+        self._train_step_fn = self._make_cycle(pro_fn, adv_fn)
         self._train_step = jax.jit(self._train_step_fn)
 
-    def _make_cycle(self):
-        pro_fn = self._make_phase(update_adversary=False)
-        adv_fn = self._make_phase(update_adversary=True)
+    def _make_cycle(self, pro_fn, adv_fn):
         cfg = self.cfg
 
         def cycle(state: RARLState):

@@ -35,7 +35,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from safe_control_gym_tpu.envs.constraints import box_bounds_view
-from safe_control_gym_tpu.parallel.fast_env import _STATS_KEYS, make_draw
+from safe_control_gym_tpu.parallel import fast_env
+from safe_control_gym_tpu.parallel.fast_env import (
+    _STATS_KEYS,
+    make_draw,
+    obs_noise_rows,
+)
 
 # State-row layout (each row is one (sub, lanes) tile).
 _X0, _NX = 0, 4
@@ -54,33 +59,10 @@ def supports(cfg, allow_normalized: bool = False) -> bool:
     from safe_control_gym_tpu.envs import cartpole as C
 
     ti = {**C._DEFAULT_TASK_INFO, **(cfg.task_info or {})}
-    dist = cfg.disturbances or {}
-    dyn = dist.get("dynamics")
-
-    def _scalar(v):
-        return np.asarray(v, dtype=float).size == 1
-
-    impulse_ok = dyn is None or (
-        len(dyn) == 1 and dyn[0].get("disturbance_func") == "impulse"
-        and "mask" not in dyn[0] and "step_offset" not in dyn[0]
-        and all(_scalar(dyn[0].get(k, 1.0))
-                for k in ("magnitude", "duration", "decay_rate"))
-        and float(np.asarray(dyn[0].get("decay_rate", 1.0), float)) > 0.0
-    )
-    act_d = dist.get("action")
-    act_dist_ok = not act_d or (
-        len(act_d) == 1
-        and act_d[0].get("disturbance_func") == "white_noise"
-        and _scalar(act_d[0].get("std", 1.0))
-        and "mask" not in act_d[0]
-    )
-    obs_d = dist.get("observation")
-    obs_dist_ok = not obs_d or (
-        len(obs_d) == 1
-        and obs_d[0].get("disturbance_func") == "white_noise"
-        and _scalar(obs_d[0].get("std", 1.0))
-        and "mask" not in obs_d[0]
-    )
+    has_d, fl = fast_env.dist_envelope_flags(cfg)
+    impulse_ok = not has_d["dynamics"] or fl["impulse"]
+    act_dist_ok = not has_d["action"] or fl["act_noise"]
+    obs_dist_ok = not has_d["observation"] or fl["obs_noise"]
     return (
         cfg.cost in ("rl_reward", "quadratic")
         and (allow_normalized or not cfg.normalized_rl_action_space)
@@ -337,14 +319,7 @@ def _policy_rollout_kernel(
 
         # Observation white noise feeds the policy and the record; the env
         # state stays clean (envs/cartpole.py _obs semantics).
-        if p.get("obs_noise_std", 0.0) > 0.0:
-            un = draw(8, 11.0)
-            s_pre = tuple(
-                s_pre[k] + p["obs_noise_std"]
-                * jnp.sqrt(-2.0 * jnp.log(1.0 - un[k]))
-                * jnp.cos(2.0 * math.pi * un[4 + k])
-                for k in range(_NX)
-            )
+        s_pre = obs_noise_rows(p, draw, s_pre, 11.0)
 
         mean, value = forward(list(s_pre))
 
@@ -378,10 +353,13 @@ def _policy_rollout_kernel(
                 scratch_ref.at[slot], traj_ref.at[it - 2], sem_ref.at[slot]
             ).wait()
 
+        # Terminal obs is NOISY in the general engine (_obs of the new
+        # state), so the truncation bootstrap sees the trained channel.
+        s_term = obs_noise_rows(p, draw, s_post, 13.0)
         record = jnp.stack(
             list(s_pre)
             + [a_tile, rew, donef, truncf, v_tile, logp_tile]
-            + [si * truncf for si in s_post],  # terminal obs, masked
+            + [si * truncf for si in s_term],  # terminal obs, masked
             axis=0,
         )
         scratch_ref[slot] = record
@@ -782,9 +760,16 @@ class FastCartPolePolicyRollout:
         """(B, 4) state matrix from packed rows (jnp, jit-safe)."""
         return jnp.moveaxis(rows[:_NX].reshape(_NX, self.B), 0, 1)
 
-    def observe(self, rows):
-        """(B, 4) observation (no goal-horizon support in this engine)."""
-        return self.states(rows)
+    def observe(self, rows, key=None):
+        """(B, 4) observation (no goal-horizon support in this engine).
+
+        With obs white noise configured and ``key`` given, noised like the
+        general engine's _obs (the GAE bootstrap critic input)."""
+        x = self.states(rows)
+        std = self.params.get("obs_noise_std", 0.0)
+        if std > 0.0 and key is not None:
+            x = x + std * jax.random.normal(key, x.shape, x.dtype)
+        return x
 
     def run(self, rows, weights, seed=None):
         """One dispatch = T policy-driven env steps; returns

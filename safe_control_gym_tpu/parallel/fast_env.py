@@ -84,43 +84,16 @@ def supports(cfg, allow_normalized: bool = False, allow_maze: bool = False,
     from safe_control_gym_tpu.envs.quadrotor import _DEFAULT_TASK_INFO
 
     ti = {**_DEFAULT_TASK_INFO, **(cfg.task_info or {})}
-    dist = cfg.disturbances or {}
-    dyn = dist.get("dynamics")
-    act_d = dist.get("action")
-
-    def _scalar(v):
-        return np.asarray(v, dtype=float).size == 1
-
-    impulse_ok = dyn is None or (
-        len(dyn) == 1 and dyn[0].get("disturbance_func") == "impulse"
-        and "mask" not in dyn[0] and "step_offset" not in dyn[0]
-        # Per-axis magnitudes / non-scalar specs route to the general engine
-        # (the kernel applies one scalar magnitude to all three axes).
-        and all(_scalar(dyn[0].get(k, 1.0))
-                for k in ("magnitude", "duration", "decay_rate"))
-        and float(np.asarray(dyn[0].get("decay_rate", 1.0), float)) > 0.0
-    )
-    uniform_ok = allow_maze and dyn is not None and (
-        len(dyn) == 1 and dyn[0].get("disturbance_func") == "uniform"
-        and "mask" not in dyn[0]
-    )
-    act_dist_ok = not act_d or (
-        allow_maze
-        and len(act_d) == 1
-        and act_d[0].get("disturbance_func") == "white_noise"
-        and _scalar(act_d[0].get("std", 1.0))
-        and "mask" not in act_d[0]
-    )
-    # Observation white noise: one extra in-kernel draw feeding the policy
-    # input (fast_policy.py); the constant-action engine's state trajectory
-    # is unaffected by construction (obs is never consumed).
-    obs_d = dist.get("observation")
-    obs_dist_ok = not obs_d or (
-        len(obs_d) == 1
-        and obs_d[0].get("disturbance_func") == "white_noise"
-        and _scalar(obs_d[0].get("std", 1.0))
-        and "mask" not in obs_d[0]
-    )
+    has_d, fl = dist_envelope_flags(cfg)
+    impulse_ok = not has_d["dynamics"] or fl["impulse"]
+    uniform_ok = allow_maze and fl["uniform"]
+    # Action white noise is implemented by the maze/policy kernels only.
+    act_dist_ok = not has_d["action"] or (allow_maze and fl["act_noise"])
+    # Observation white noise: in-kernel draws feeding the policy input and
+    # the recorded/terminal obs (fast_policy.py); the constant-action
+    # engine's state trajectory is unaffected by construction (obs is never
+    # consumed).
+    obs_dist_ok = not has_d["observation"] or fl["obs_noise"]
     # The kernel applies ONE action weight to all four motors; a per-motor
     # weight vector must fall back unless it is uniform.
     act_w = np.asarray(
@@ -153,6 +126,71 @@ def supports(cfg, allow_normalized: bool = False, allow_maze: bool = False,
         # box_bounds_view); anything else falls back to the general engine.
         and (cfg.constraints is None
              or box_bounds_view(cfg.constraints, _NX, 4) is not None)
+    )
+
+
+def _spec_scalar(v):
+    return np.asarray(v, dtype=float).size == 1
+
+
+def _single_scalar_white_noise(ch):
+    """True when the channel is exactly one unmasked scalar-std white noise."""
+    return (
+        ch is not None
+        and len(ch) == 1
+        and ch[0].get("disturbance_func") == "white_noise"
+        and _spec_scalar(ch[0].get("std", 1.0))
+        and "mask" not in ch[0]
+    )
+
+
+def dist_envelope_flags(cfg):
+    """Disturbance-envelope predicates shared by the whole-rollout engines
+    (quad-3D / cartpole / planar ``supports()``): each engine combines these
+    with its own gates (e.g. only the quad maze family admits uniform
+    dynamics noise and action white noise).
+
+    Returns ``(has, flags)``: ``has[channel]`` — channel configured at all;
+    ``flags['impulse'|'uniform'|'act_noise'|'obs_noise']`` — True when that
+    channel is the single supported form the kernels implement."""
+    dist = cfg.disturbances or {}
+    dyn = dist.get("dynamics")
+    has = {ch: bool(dist.get(ch)) for ch in ("dynamics", "action", "observation")}
+    impulse = dyn is not None and (
+        len(dyn) == 1 and dyn[0].get("disturbance_func") == "impulse"
+        and "mask" not in dyn[0] and "step_offset" not in dyn[0]
+        # Per-axis magnitudes / non-scalar specs route to the general engine
+        # (the kernel applies one scalar magnitude to all axes).
+        and all(_spec_scalar(dyn[0].get(k, 1.0))
+                for k in ("magnitude", "duration", "decay_rate"))
+        and float(np.asarray(dyn[0].get("decay_rate", 1.0), float)) > 0.0
+    )
+    uniform = dyn is not None and (
+        len(dyn) == 1 and dyn[0].get("disturbance_func") == "uniform"
+        and "mask" not in dyn[0]
+    )
+    return has, {
+        "impulse": impulse,
+        "uniform": uniform,
+        "act_noise": _single_scalar_white_noise(dist.get("action")),
+        "obs_noise": _single_scalar_white_noise(dist.get("observation")),
+    }
+
+
+def obs_noise_rows(p, draw, rows, salt):
+    """Observation white noise on state rows (the general engine's obs
+    channel, quadrotor._obs): one Box-Muller pair per channel from the
+    shared in-kernel stream.  Goal-extension rows stay clean, as in the
+    general engine.  No-op when the config carries no obs noise."""
+    std = p.get("obs_noise_std", 0.0)
+    if std <= 0.0:
+        return rows
+    n = len(rows)
+    un = draw(2 * n, salt)
+    return tuple(
+        r + std * jnp.sqrt(-2.0 * jnp.log(1.0 - un[k]))
+        * jnp.cos(2.0 * math.pi * un[n + k])
+        for k, r in enumerate(rows)
     )
 
 

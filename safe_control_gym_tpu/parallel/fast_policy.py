@@ -52,6 +52,7 @@ from safe_control_gym_tpu.parallel.fast_env import (
     build_engine_params,
     eval_goal,
     make_draw,
+    obs_noise_rows,
     reset_rows,
     step_env_core,
     supports,
@@ -128,14 +129,7 @@ def _policy_rollout_kernel(
         # policy acts on — and the trajectory records — the NOISY obs, while
         # the env state stays clean, matching the general engine's
         # obs-channel semantics.
-        if p.get("obs_noise_std", 0.0) > 0.0:
-            un = draw(24, 11.0)
-            s_pre = tuple(
-                s_pre[k] + p["obs_noise_std"]
-                * jnp.sqrt(-2.0 * jnp.log(1.0 - un[k]))
-                * jnp.cos(2.0 * math.pi * un[12 + k])
-                for k in range(_NX)
-            )
+        s_pre = obs_noise_rows(p, draw, s_pre, 11.0)
 
         # -- policy + value forward -----------------------------------------
         # Obs = (noisy) state + goal-horizon extension at next_step =
@@ -191,8 +185,12 @@ def _policy_rollout_kernel(
 
         # Terminal obs (masked to truncation steps): post-step state + goal
         # extension at the INCREMENTED step's next index (new ctrl_step + 1
-        # = step + 2 — quadrotor.py:1031 obs of new_state).
-        term_rows = [si * truncf for si in s_post] + [
+        # = step + 2 — quadrotor.py:1031 obs of new_state).  The general
+        # engine's terminal observation goes through _obs and is therefore
+        # NOISY on the state part; draw fresh noise here so the GAE
+        # truncation bootstrap sees the same channel the critic trains on.
+        s_term = obs_noise_rows(p, draw, s_post, 13.0)
+        term_rows = [si * truncf for si in s_term] + [
             g * truncf for g in goal_ext_rows(carry[_R_STEP], 2.0)
         ]
         record = jnp.stack(
@@ -360,13 +358,20 @@ class FastPolicyRollout:
         """(B, 12) state matrix from packed rows (jnp, jit-safe)."""
         return jnp.moveaxis(rows[:_NX].reshape(_NX, self.B), 0, 1)
 
-    def observe(self, rows):
+    def observe(self, rows, key=None):
         """(B, obs_dim) observation matrix from packed rows (jnp, jit-safe):
         state + goal-horizon extension at next_step = ctrl_step + 1, gathered
         from the env's X_GOAL table exactly like the general engine
         (quadrotor._extend_obs, benchmark_env.py:406-420).  Used for the GAE
-        bootstrap value of the post-rollout state."""
+        bootstrap value of the post-rollout state.
+
+        With obs white noise configured and ``key`` given, the state part is
+        noised like the general engine's _obs (the bootstrap critic input is
+        the noisy channel; goal rows stay clean)."""
         x = self.states(rows)
+        std = self.params.get("obs_noise_std", 0.0)
+        if std > 0.0 and key is not None:
+            x = x + std * jax.random.normal(key, x.shape, x.dtype)
         if self.params.get("obs_mul", 1) <= 1:
             return x
         xg = jnp.asarray(np.asarray(self.env.x_goal, np.float32))

@@ -244,3 +244,66 @@ def test_goal_horizon_ppo_trains_and_stab_variant():
     np.testing.assert_allclose(
         np.asarray(d["obs"][0, :, 12:]), np.broadcast_to(xg, (B, 12)),
         rtol=1e-6, atol=1e-7)
+
+
+def test_obs_noise_on_terminal_and_bootstrap_obs():
+    """The truncation-bootstrap channel matches the general engine: stored
+    terminal observations and the post-rollout bootstrap obs carry the obs
+    white noise (quadrotor._obs of the new/final state, quadrotor.py:1031),
+    not the clean state.
+
+    With zero policy weights and logstd=-20 the actions are ~0 regardless of
+    the (noisy) observations, so the state trajectory is noise-invariant: a
+    second run with std=0 provides the clean reference (interpret-mode draws
+    are salted per call site, so shared-salt draws replay identically across
+    the two configs)."""
+    def build(std):
+        dist = {"observation": (
+            {"disturbance_func": "white_noise", "std": std},)} if std else None
+        env = make_quadrotor(QuadrotorConfig(
+            quad_type=3, ctrl_freq=4, pyb_freq=16, episode_len_sec=1,
+            task="traj_tracking",
+            task_info={"trajectory_type": "figure8", "trajectory_plane": "xy",
+                       "trajectory_position_offset": [0, 0],
+                       "trajectory_scale": 1.0, "num_cycles": 1,
+                       "proj_point": [0, 0, 0.5], "proj_normal": [0, 1, 1]},
+            cost="rl_reward", normalized_rl_action_space=True,
+            disturbances=dist,
+        ))
+        fp = FastPolicyRollout(env, B, 8, interpret=True)
+        ppo = PPO(env, seed=0, rollout_batch_size=B, rollout_steps=8)
+        zero_ac = jax.tree.map(jnp.zeros_like, ppo.state.ac)
+        w = fp.pack_weights(zero_ac.actor_params, zero_ac.critic_params,
+                            jnp.full(4, -20.0))
+        rows = fp.reset(0)
+        new_rows, traj = fp.run(rows, w, seed=3)
+        return fp, new_rows, fp.unpack_traj(traj)
+
+    std = 0.05
+    fp_n, rows_n, d_n = build(std)
+    fp_c, rows_c, d_c = build(0.0)
+    trunc = np.asarray(d_n["trunc"])
+    assert trunc.sum() > 0, "horizon never crossed; test misconfigured"
+    # Identical trajectories up to the ~exp(-20) action jitter.
+    np.testing.assert_allclose(np.asarray(d_n["rew"]), np.asarray(d_c["rew"]),
+                               rtol=1e-4, atol=1e-5)
+    # Terminal obs at truncation steps = clean post-step state + fresh noise.
+    m = trunc > 0.0
+    diff = (np.asarray(d_n["term_obs"])[m][:, :12]
+            - np.asarray(d_c["term_obs"])[m][:, :12])
+    assert np.abs(diff).max() > 1e-4, "terminal obs carries no noise"
+    assert 0.5 * std < diff.std() < 2.0 * std, diff.std()
+    # Goal-extension rows stay clean.
+    if d_n["term_obs"].shape[-1] > 12:
+        np.testing.assert_allclose(np.asarray(d_n["term_obs"])[m][:, 12:],
+                                   np.asarray(d_c["term_obs"])[m][:, 12:],
+                                   rtol=1e-4, atol=1e-5)
+    # Bootstrap obs: observe(rows, key) noises the state part like _obs.
+    key = jax.random.key(7)
+    ob_n = np.asarray(fp_n.observe(rows_n, key=key))
+    ob_plain = np.asarray(fp_n.observe(rows_n))
+    dob = (ob_n - ob_plain)[:, :12]
+    assert 0.5 * std < dob.std() < 2.0 * std, dob.std()
+    # Without noise configured, the key is a no-op.
+    np.testing.assert_array_equal(np.asarray(fp_c.observe(rows_c, key=key)),
+                                  np.asarray(fp_c.observe(rows_c)))
