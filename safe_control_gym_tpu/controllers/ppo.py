@@ -246,8 +246,12 @@ class PPO(BaseController):
                 and obs_dim <= 128 and act_dim <= 8
                 and mb % 8 == 0
                 # FastPPOUpdate chunks the minibatch at 4096 (VMEM limit);
-                # the minibatch must split into whole chunks.
-                and (mb <= 4096 or mb % 4096 == 0)
+                # the minibatch must split into whole chunks, and each
+                # chunk must be a whole number of (8 sublane x 128 lane)
+                # registers for the in-kernel flatten (Mosaic rejects
+                # narrower sublane->lane folds) — so mb must be a
+                # multiple of 1024 below the chunk size.
+                and (mb % 1024 == 0 if mb <= 4096 else mb % 4096 == 0)
             )
         if use_fu:
             from safe_control_gym_tpu.parallel.fast_update import FastPPOUpdate

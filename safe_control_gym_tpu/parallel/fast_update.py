@@ -215,6 +215,19 @@ class FastPPOUpdate:
                  obs_dim: int = 12, act_dim: int = 4):
         chunk = min(chunk, mb_size)
         assert mb_size % chunk == 0 and chunk % 8 == 0
+        if chunk % 1024 != 0 and not interpret:
+            # The in-kernel (F, 8, CL) -> (F, 8*CL) flatten is a
+            # sublane->lane fold; Mosaic only supports it when the chunk's
+            # lane count (CL = chunk/8) is a whole number of 128-lane
+            # registers.  Smaller minibatches would die inside the Mosaic
+            # compiler with an internal "unsupported shape cast" — reject
+            # them here with an actionable message instead.
+            raise ValueError(
+                f"FastPPOUpdate requires the minibatch chunk ({chunk}) to be "
+                "a multiple of 1024 samples (8 sublanes x 128 lanes) on TPU; "
+                "use the XLA update path (use_fast_update=False) for smaller "
+                "minibatches."
+            )
         self.mb = mb_size
         self.H = hidden
         self.F = obs_dim + act_dim + 4

@@ -121,3 +121,30 @@ def test_fast_update_multichunk_grads(nx, nu):
                          .log_prob(act) - logp_old),
                  1 - clip, 1 + clip) * adv).mean())
     np.testing.assert_allclose(float(-sums[0] / mb), p_loss_ref, rtol=2e-4)
+
+
+def test_fast_update_rejects_sub_register_chunks():
+    """Mosaic only supports the kernel's (F, 8, CL) -> (F, 8*CL) flatten
+    when the chunk is a whole number of (8 sublane x 128 lane) registers:
+    a compiled (non-interpret) FastPPOUpdate below 1024 samples/chunk must
+    raise an actionable ValueError up front, not an internal Mosaic error
+    at trace time (found by running dryrun_multichip's tiny shapes on a
+    real TPU), and the PPO auto gate must decline such minibatches."""
+    from safe_control_gym_tpu.parallel.fast_update import FastPPOUpdate
+
+    with pytest.raises(ValueError, match="multiple of 1024"):
+        FastPPOUpdate(64, 128, "tanh", 0.2, interpret=False)
+    # Interpret mode (used by the CPU tests above) has no Mosaic layout
+    # constraint and keeps accepting small chunks.
+    FastPPOUpdate(64, 128, "tanh", 0.2, interpret=True)
+
+    env = _env()
+    # fast_interpret=True stands in for the TPU backend in the auto gate.
+    ppo = PPO(env, seed=0, rollout_batch_size=8, rollout_steps=4,
+              opt_epochs=1, mini_batch_size=16,
+              use_fast_update="auto", fast_interpret=True)
+    assert ppo._fu is None, "auto gate must decline mb=16 (not 1024-aligned)"
+    ppo = PPO(env, seed=0, rollout_batch_size=64, rollout_steps=16,
+              opt_epochs=1, mini_batch_size=1024,
+              use_fast_update="auto", fast_interpret=True)
+    assert ppo._fu is not None
