@@ -63,6 +63,7 @@ def run(
     controller_cls=Controller,
     gui: bool = False,
     gui_every: int = 2,
+    fused: bool = False,
 ):
     """Run competition episodes; returns per-episode stats
     (reference getting_started.py run(), :42-342).
@@ -76,7 +77,8 @@ def run(
         env_func = lambda: make_quadrotor(
             _env_config_from_level(level_config, firmware_freq, firmware_freq)
         )
-        wrapper = FirmwareWrapper(env_func, firmware_freq, ctrl_freq, verbose=verbose)
+        wrapper = FirmwareWrapper(env_func, firmware_freq, ctrl_freq,
+                                  verbose=verbose, fused=fused)
         env = wrapper.env
     else:
         env = make_quadrotor(_env_config_from_level(level_config, ctrl_freq, ctrl_freq))

@@ -103,6 +103,43 @@ def gate_collision(pos, gate_xy, gate_yaw, gate_height, drone_radius=DRONE_RADIU
     return frame_hit | leg
 
 
+def gate_frame_margin(pos, gate_xy, gate_yaw, gate_height, drone_radius=DRONE_RADIUS):
+    """Signed clearance margin (m) of the drone sphere to each gate frame.
+
+    Continuous companion of ``gate_collision`` for diagnosis/robustness
+    sweeps: the frame is hit exactly when all three box conditions hold, so
+    the margin is the max of the three signed violations — positive means
+    safe, and its magnitude says how much slack (or penetration) the binding
+    condition has.  Axes as in ``gate_collision``: u = in-plane lateral,
+    n = gate normal, w = height above the aperture center.
+    Returns (NG,) f32.
+    """
+    rel = pos[None, :2] - gate_xy
+    c, s = jnp.cos(gate_yaw), jnp.sin(gate_yaw)
+    u = rel[:, 0] * c + rel[:, 1] * s
+    n = -rel[:, 0] * s + rel[:, 1] * c
+    w = pos[2] - gate_height
+    uw = jnp.maximum(jnp.abs(u), jnp.abs(w))
+    f_slab = jnp.abs(n) - (GATE_SLAB_HALF + drone_radius)
+    f_outer = uw - (GATE_OUTER_HALF + drone_radius)
+    f_inner = (GATE_INNER_HALF - drone_radius) - uw
+    frame_m = jnp.maximum(jnp.maximum(f_slab, f_outer), f_inner)
+    # Support leg margin: radial distance minus radii, unless above the leg.
+    leg_m = jnp.maximum(
+        jnp.sqrt(rel[:, 0] ** 2 + rel[:, 1] ** 2) - (OBSTACLE_RADIUS + drone_radius),
+        pos[2] - (gate_height - GATE_OUTER_HALF),
+    )
+    return jnp.minimum(frame_m, leg_m)
+
+
+def obstacle_margin(pos, obs_xy, drone_radius=DRONE_RADIUS):
+    """Signed clearance margin (m) to each obstacle cylinder. (NO,) f32."""
+    rel = pos[None, :2] - obs_xy
+    radial = jnp.sqrt(jnp.sum(rel * rel, -1)) - (OBSTACLE_RADIUS + drone_radius)
+    above = pos[2] - (OBSTACLE_HEIGHT + drone_radius)
+    return jnp.maximum(radial, above)
+
+
 def obstacle_collision(pos, obs_xy, drone_radius=DRONE_RADIUS):
     """Drone sphere vs. obstacle cylinders. Returns (NO,) bool."""
     rel = pos[None, :2] - obs_xy

@@ -10,6 +10,7 @@ import ctypes
 import os
 import subprocess
 import threading
+import warnings
 
 import numpy as np
 
@@ -18,21 +19,61 @@ _SRC = os.path.join(_HERE, "scg_native.cpp")
 _LIB = os.path.join(_HERE, "libscg_native.so")
 _lock = threading.Lock()
 _lib = None
+_lib_failed = False
 
 
 def _build():
-    subprocess.check_call(
-        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-         _SRC, "-o", _LIB]
-    )
+    # -march=native is opt-in (SCG_NATIVE_MARCH=1): the produced .so is then
+    # not portable across machines sharing the build directory.
+    flags = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17"]
+    if os.environ.get("SCG_NATIVE_MARCH") == "1":
+        flags.insert(2, "-march=native")
+    subprocess.check_call(flags + [_SRC, "-o", _LIB])
+
+
+def available() -> bool:
+    """True if the native library is loadable (builds it on first call)."""
+    return _try_load() is not None
+
+
+def _try_load():
+    """Build/load the native library; returns None (with a one-time warning)
+    when no working C++ toolchain is present — callers fall back to the
+    NumPy implementations in ``_fallback`` (same f64 semantics)."""
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _lib_failed:
+            return None
+        try:
+            return _load_locked()
+        except (OSError, subprocess.CalledProcessError, FileNotFoundError) as e:
+            _lib_failed = True
+            warnings.warn(
+                "safe_control_gym_tpu.native: C++ toolchain unavailable "
+                f"({type(e).__name__}: {e}); using the NumPy fallback "
+                "implementations (slower, same semantics).",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            return None
 
 
 def load():
-    """Build (if needed) and load the native library; returns the ctypes CDLL."""
+    """Build (if needed) and load the native library; returns the ctypes CDLL.
+
+    Raises if the toolchain is unavailable — use ``_try_load``/``available``
+    for the soft path."""
     global _lib
     with _lock:
         if _lib is not None:
             return _lib
+        return _load_locked()
+
+
+def _load_locked():
+        global _lib
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
             _build()
         lib = ctypes.CDLL(_LIB)
@@ -63,7 +104,13 @@ def _ptr(a):
 
 
 def cartpole_rollout(x0, forces, dt, n_sub, pole_length, pole_mass, cart_mass):
-    lib = load()
+    lib = _try_load()
+    if lib is None:
+        from safe_control_gym_tpu.native import _fallback
+
+        return _fallback.cartpole_rollout(
+            x0, forces, dt, n_sub, pole_length, pole_mass, cart_mass
+        )
     x0 = np.ascontiguousarray(x0, np.float64)
     forces = np.ascontiguousarray(forces, np.float64).reshape(-1)
     T = forces.shape[0]
@@ -74,7 +121,11 @@ def cartpole_rollout(x0, forces, dt, n_sub, pole_length, pole_mass, cart_mass):
 
 
 def quad3d_rollout(x0, thrusts, dt, n_sub, mass, j_diag):
-    lib = load()
+    lib = _try_load()
+    if lib is None:
+        from safe_control_gym_tpu.native import _fallback
+
+        return _fallback.quad3d_rollout(x0, thrusts, dt, n_sub, mass, j_diag)
     x0 = np.ascontiguousarray(x0, np.float64)
     thrusts = np.ascontiguousarray(thrusts, np.float64)
     j = np.ascontiguousarray(j_diag, np.float64)
@@ -87,6 +138,13 @@ def quad3d_rollout(x0, thrusts, dt, n_sub, mass, j_diag):
 
 class NativeFlightLogger:
     """High-rate telemetry ring buffer (see scg_native.cpp)."""
+
+    def __new__(cls, capacity: int, width: int, header: str = ""):
+        if _try_load() is None:
+            from safe_control_gym_tpu.native import _fallback
+
+            return _fallback.PyFlightLogger(capacity, width, header)
+        return super().__new__(cls)
 
     def __init__(self, capacity: int, width: int, header: str = ""):
         self._lib = load()

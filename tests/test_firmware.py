@@ -172,6 +172,36 @@ def test_firmware_stock_gains_and_lpf_swap():
     assert fw.acclpf[0].b0 > fw.gyrolpf[0].b0
 
 
+def test_fused_matches_host_loop():
+    """The fused on-device scan (one dispatch per control step) must replay
+    the host-side per-tick loop: same gating, same LPF/delay/tumble state
+    machine, same emitted actions.  Tolerance covers the f64->f32 LPF/poly
+    arithmetic move; everything else is bit-identical by construction."""
+    fwf = FirmwareWrapper(_env_func(), firmware_freq=500, ctrl_freq=25, fused=True)
+    fwh = FirmwareWrapper(_env_func(), firmware_freq=500, ctrl_freq=25, fused=False)
+    for fw in (fwf, fwh):
+        fw.reset(seed=3)
+        fw.sendTakeoffCmd(1.0, 2.0)
+    af = ah = np.zeros(4)
+    for i in range(60):
+        if i == 25:
+            fwf.sendGotoCmd([0.4, -0.2, 1.1], 0.0, 1.5, relative=False)
+            fwh.sendGotoCmd([0.4, -0.2, 1.1], 0.0, 1.5, relative=False)
+        of, rf, df, inf_f, af = fwf.step(i / 25, af)
+        oh, rh, dh, inf_h, ah = fwh.step(i / 25, ah)
+        # f64->f32 filter arithmetic drift compounds through the closed loop;
+        # 2 cm over 60 control steps (2.4 s) bounds it far below tracking error.
+        np.testing.assert_allclose(np.asarray(of), np.asarray(oh), atol=2e-2,
+                                   err_msg=f"obs diverged at ctrl step {i}")
+        np.testing.assert_allclose(np.asarray(af), np.asarray(ah), atol=2e-2)
+        assert df == dh and abs(rf - float(rh)) < 5e-2
+        assert int(fwf.tick) == int(fwh.tick)
+    # Info dicts agree on the competition fields.
+    assert int(np.asarray(inf_f["current_target_gate_id"])) == int(
+        np.asarray(inf_h["current_target_gate_id"]))
+    assert bool(np.asarray(inf_f["collision"])) == bool(np.asarray(inf_h["collision"]))
+
+
 def test_firmware_state_delay_unsupported():
     with pytest.raises(NotImplementedError):
         class _D(FirmwareWrapper):
