@@ -86,6 +86,27 @@ def quad3d_case(steps, dtype):
     return _run_case(fc, ofc, x0, forces, dt, steps, dtype)
 
 
+def quad2d_case(steps, dtype):
+    """Planar quadrotor (BASELINE config 3 family; reference quadrotor.py
+    QuadType.TWO_D dynamics)."""
+    from oracles import numpy_reference as oracle
+
+    from safe_control_gym_tpu.envs.quadrotor import MASS, J_DIAG, quad_fc_2d
+
+    rng = np.random.default_rng(2)
+    x0 = rng.normal(size=6) * 0.05
+    hover = MASS * 9.8 / 4.0
+    forces = hover * (1.0 + 0.05 * rng.normal(size=(steps, 4)))
+    dt = 1.0 / 240.0
+    iyy = float(np.asarray(J_DIAG)[1])
+
+    fc = lambda a, b: quad_fc_2d(a, b, jnp.asarray(MASS, a.dtype),
+                                 jnp.asarray(iyy, a.dtype),
+                                 jnp.zeros((), a.dtype), jnp.zeros((), a.dtype))
+    ofc = lambda a, b: oracle.quad2d_fc(a, b, MASS, iyy)
+    return _run_case(fc, ofc, x0, forces, dt, steps, dtype)
+
+
 def _run_case(fc, ofc, x0, forces, dt, steps, dtype):
     """(per-step engine states from oracle states, per-step oracle states,
     free-run engine traj, free-run oracle traj)."""
@@ -123,7 +144,8 @@ def _run_case(fc, ofc, x0, forces, dt, steps, dtype):
 def main(round_no=2, steps=100):
     platform = jax.devices()[0].platform
     results = {"platform": platform, "steps": steps, "cases": {}}
-    for name, fn in (("cartpole", cartpole_case), ("quad3d", quad3d_case)):
+    for name, fn in (("cartpole", cartpole_case), ("quad2d", quad2d_case),
+                     ("quad3d", quad3d_case)):
         gs32, ws32, gt32, wt32 = fn(steps, jnp.float32)
         entry = {
             "f32_step_max_ulp": _max_ulp(gs32, ws32),
