@@ -73,8 +73,8 @@ class DDPG(BaseController):
         cfg = self.cfg
         self.vec = make_vec_env(env, cfg.rollout_batch_size)
         obs_dim, act_dim = env.spaces.obs_dim, env.spaces.action_dim
-        self.act_lo = jnp.asarray(env.spaces.action_low, jnp.float32)
-        self.act_hi = jnp.asarray(env.spaces.action_high, jnp.float32)
+        self.act_lo = np.asarray(env.spaces.action_low, np.float32)
+        self.act_hi = np.asarray(env.spaces.action_high, np.float32)
         self.actor = MLP(act_dim, (cfg.hidden_dim, cfg.hidden_dim), act=cfg.activation, out_act="tanh")
         self.critic = MLP(1, (cfg.hidden_dim, cfg.hidden_dim), act=cfg.activation)
         self.actor_tx = optax.adam(cfg.actor_lr)

@@ -229,12 +229,15 @@ class FirmwareWrapper:
         n_gates = len(getattr(self.env.config, "gates", None) or [])
         n_obst = len(getattr(self.env.config, "obstacles", None) or [])
         self._n_gates, self._n_obst = n_gates, n_obst
-        a_low = jnp.asarray(np.asarray(self.env.spaces.action_low, np.float32))
-        a_high = jnp.asarray(np.asarray(self.env.spaces.action_high, np.float32))
-        remap = jnp.asarray([3, 2, 1, 0])
+        # NumPy closure constants (NOT device arrays): each device array
+        # captured by a traced function costs a device_get at lowering time —
+        # minutes over a remote tunnel (see quadrotor.py _weights_vec note).
+        a_low = np.asarray(self.env.spaces.action_low, np.float32)
+        a_high = np.asarray(self.env.spaces.action_high, np.float32)
+        remap = np.asarray([3, 2, 1, 0])
         gl, al = self.gyrolpf[0], self.acclpf[0]
-        g_coef = jnp.asarray([gl.b0, gl.b1, gl.b2, gl.a1, gl.a2], jnp.float32)
-        a_coef = jnp.asarray([al.b0, al.b1, al.b2, al.a1, al.a2], jnp.float32)
+        g_coef = np.asarray([gl.b0, gl.b1, gl.b2, gl.a1, gl.a2], np.float32)
+        a_coef = np.asarray([al.b0, al.b1, al.b2, al.a1, al.a2], np.float32)
 
         # Fixed info packing spec: the env step's info pytree is flattened
         # into one f32 vector inside the kernel so the host fetches a single

@@ -129,8 +129,8 @@ class SAC(BaseController):
         obs_dim, act_dim = env.spaces.obs_dim, env.spaces.action_dim
         self.act_dim = act_dim
         # Actions are squashed to [-1, 1] then affinely mapped to the box.
-        self.act_lo = jnp.asarray(env.spaces.action_low, jnp.float32)
-        self.act_hi = jnp.asarray(env.spaces.action_high, jnp.float32)
+        self.act_lo = np.asarray(env.spaces.action_low, np.float32)
+        self.act_hi = np.asarray(env.spaces.action_high, np.float32)
         self.actor = _Actor(obs_dim, act_dim, cfg.hidden_dim, cfg.activation)
         self.critic = _TwinQ(obs_dim, act_dim, cfg.hidden_dim, cfg.activation)
         self.target_entropy = (

@@ -336,7 +336,10 @@ def _weights_vec(w, dim, dtype):
     if w.size == 1:
         w = np.full(dim, w[0])
     assert w.size == dim, f"weight size {w.size} != {dim}"
-    return jnp.asarray(w, dtype)
+    # NumPy on purpose: these are build-time closure constants of traced
+    # functions; a device array here costs a device_get at every lowering
+    # (minutes over a remote tunnel).
+    return np.asarray(w, dtype)
 
 
 def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
@@ -519,12 +522,14 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
     else:
         mse_w_np = cfg.info_mse_metric_state_weight
     mse_w = _weights_vec(mse_w_np, nx, dtype)
-    Q = jnp.diag(_weights_vec(cfg.q_weight, nx, dtype)) if cfg.q_weight is not None else jnp.eye(nx, dtype=dtype)
-    R = jnp.diag(_weights_vec(cfg.r_weight, nu, dtype)) if cfg.r_weight is not None else jnp.eye(nu, dtype=dtype)
-    x_goal_j = jnp.asarray(x_goal, dtype)
-    u_goal_j = jnp.asarray(u_goal, dtype)
+    # All build-time constants stay NumPy (embedded free at lowering; device
+    # arrays would each cost a device_get per trace — see _weights_vec note).
+    Q = np.diag(_weights_vec(cfg.q_weight, nx, dtype)) if cfg.q_weight is not None else np.eye(nx, dtype=dtype)
+    R = np.diag(_weights_vec(cfg.r_weight, nu, dtype)) if cfg.r_weight is not None else np.eye(nu, dtype=dtype)
+    x_goal_j = np.asarray(x_goal, dtype)
+    u_goal_j = np.asarray(u_goal, dtype)
     goal_tol = float(task_info["stabilization_goal_tolerance"])
-    drag_coeff = jnp.asarray(DRAG_COEFF, dtype)
+    drag_coeff = np.asarray(DRAG_COEFF, dtype)
 
     def _extend_obs(obs, next_step):
         if mul == 1:
@@ -566,7 +571,9 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
             # to bf16 (~0.4% goal-position error) — this lookup must be exact.
             oh = jax.nn.one_hot(wp, x_goal_j.shape[0], dtype=x_goal_j.dtype)
             return jnp.matmul(oh, x_goal_j, precision=jax.lax.Precision.HIGHEST)
-        return x_goal_j[wp]
+        # jnp view of the NumPy table: embeds as an in-program constant
+        # (NumPy can't be fancy-indexed by a tracer).
+        return jnp.asarray(x_goal_j)[wp]
 
     def _pos3d(x):
         """World position of the drone for any quad type."""
@@ -636,10 +643,15 @@ def make_quadrotor(config: QuadrotorConfig = QuadrotorConfig()) -> FnEnv:
             else:
                 lo.append(0.0)
                 hi.append(0.0)
-        return jnp.asarray(lo, dtype), jnp.asarray(hi, dtype)
+        # Host (NumPy) constants, deliberately: build-time jnp.asarray would
+        # commit these to the device, and every later trace of reset() then
+        # pays a device_get to embed them as MLIR constants — ~84 s EACH over
+        # a remote-tunnel backend (measured; 3 constants made env.reset's
+        # lowering take 250 s).  NumPy closure constants embed for free.
+        return np.asarray(lo, dtype), np.asarray(hi, dtype)
 
     _rand_lo, _rand_hi = _rand_bounds()
-    _nominal_rand = jnp.asarray(
+    _nominal_rand = np.asarray(
         [nom_mass, *nom_j]
         + [float(init_state.get(n, 0.0)) for n in INIT_LABELS[quad_type]],
         dtype,

@@ -7,10 +7,16 @@ Categorical (:42-72).  Implemented as stateless helpers over (loc, scale) /
 logits arrays.
 """
 
+import math
+
 import jax
 import jax.numpy as jnp
 
-LOG_2PI = jnp.log(2.0 * jnp.pi)
+# Host float on purpose: a module-level jnp.log() would run eagerly on the
+# default backend at import (device dispatch) and then be captured as a
+# device-array constant by every traced user — costing a device_get per
+# lowering (minutes over a remote tunnel).
+LOG_2PI = math.log(2.0 * math.pi)
 
 
 class Normal:
