@@ -21,6 +21,7 @@ from safe_control_gym_tpu.competition.planning import (
 )
 from safe_control_gym_tpu.competition.stage_actions import (
     StageActionFinished,
+    StageActionGotoXY,
     StageActionLand,
     StageActionMPCC,
     StageActionSpline,
@@ -74,6 +75,12 @@ class Controller:
             1.0,
         ])
         goal_pos = np.array([goal[0], goal[2], goal[4]]) if len(goal) >= 6 else start
+        # Same inward pull for the landing target: level2's stabilization
+        # goal sits 10 cm from the |y|<=3 kill boundary, and residual race
+        # momentum during LAND can drift over the line (observed: all 4 gates
+        # passed, then y crossed 3.0 on descent).  The 0.15 m inset stays
+        # inside the goal tolerance (0.15), so task completion is unaffected.
+        goal_pos[:2] = np.clip(goal_pos[:2], -(ARENA - INSET), ARENA - INSET)
         # Planning inputs kept for per-episode re-planning under risk advice
         # (reference ek_controller_impl.py:77-92 flight-plan cache).
         self._plan_inputs = dict(
@@ -151,7 +158,7 @@ class Controller:
                 # Fast between gates, slow through apertures; tuned with the
                 # stock-gain firmware under level2 noise (4/4 gates, zero
                 # collisions, seed 0 both episodes).
-                v_max=2.0, v_gate=0.6, a_max=2.5,
+                v_max=2.0, v_gate=0.6, a_max=2.5, v_first=1.1,
             )
         stages = [StageActionTakeOff(self.CTRL_FREQ, height=1.0, duration=2.0)]
         if self.flight_traj is not None:
@@ -168,6 +175,11 @@ class Controller:
                     self.flight_traj, self.CTRL_TIMESTEP, gate_thetas=gate_thetas,
                     gate_positions=[gp for gp, _ in gate_poses],
                     obstacle_positions=[list(o)[:2] for o in obstacles],
+                    # Frame poses for the in-cost repulsion hinge (updated to
+                    # measured poses in flight by StageActionMPCC).
+                    gate_frames=[
+                        (gp[0], gp[1], gyaw, gp[2]) for gp, gyaw in gate_poses
+                    ],
                     theta_dot_max=1.0,
                 )
                 stages.append(StageActionMPCC(
@@ -192,6 +204,17 @@ class Controller:
                         gate_slow_scale=0.28, gate_slow_radius=1.1,
                     )
                 )
+        if self.flight_traj is not None:
+            # Settle at the (inset) goal before descending: the race stage
+            # hands over with residual velocity, and LAND holds xy from a
+            # MOVING state — observed drifting past the |y|<=3 boundary on
+            # level2 (goal 10 cm from the line).  GOTO plans a poly7 from the
+            # current full state to rest at the goal, shedding momentum
+            # inside the arena.
+            stages.append(StageActionGotoXY(
+                self.CTRL_FREQ, goal_pos[0], goal_pos[1], z=goal_pos[2],
+                duration=1.5,
+            ))
         stages += [StageActionLand(self.CTRL_FREQ), StageActionFinished()]
         self.sequencer = StageSequencer(stages)
         # Flight-plan cache keyed by the gate tuple actually planned against
@@ -220,6 +243,8 @@ class Controller:
         self.risk_adviser = RiskAdviser(forced_conservative_mode=forced_conservative)
         self.gate_corrector = GateCorrector(gate_heights=heights)
         self._last_task_completed = False
+        self._z_trim = self.Z_TRIM_INIT
+        self._z_trim_last_des = None
 
     def replan(self, gates):
         """Rebuild trajectory + stage sequence against measured gate poses.
@@ -289,6 +314,49 @@ class Controller:
         it = int(round(time_s * self.CTRL_FREQ))
         command, args = self.sequencer.run(it, pos, vel, rpy, pqr,
                                            corrections=corrections)
+        return self._apply_z_trim(command, args, pos, vel)
+
+    # Stock-firmware altitude trim: the Mellinger's internal vehicle mass
+    # (0.032 kg, controller_mellinger.c) exceeds the cf2x's 0.027 kg, so the
+    # closed loop hovers ~+10 cm above any commanded altitude (measured
+    # +0.099 m steady, sigma 4 mm, under level2 noise).  At a low gate the
+    # aperture margin is 0.14 m — the un-trimmed bias eats ~70% of it and was
+    # the common cause of the top-bar clips on the randomized-level sweeps.
+    # The reference entry shipped a dev-sim2real analysis pipeline for
+    # exactly this class of plant/firmware mismatch (reference
+    # dev-sim2real/README.md); here the trim is estimated ONLINE from the
+    # steady-state error and applied to outgoing altitude commands.
+    Z_TRIM_INIT = 0.10
+    Z_TRIM_RANGE = (0.02, 0.18)
+
+    def _apply_z_trim(self, command, args, pos, vel):
+        if command == Command.FULLSTATE:
+            des_z = float(args[0][2])
+            # Slow online refinement while the vertical axis is quasi-steady.
+            if self._z_trim_last_des is not None and abs(vel[2]) < 0.25:
+                err = float(pos[2]) - self._z_trim_last_des
+                self._z_trim = float(np.clip(
+                    self._z_trim + 0.02 * err, *self.Z_TRIM_RANGE
+                ))
+            self._z_trim_last_des = des_z
+            p = np.asarray(args[0], float).copy()
+            p[2] = max(des_z - self._z_trim, 0.05)
+            args = (p,) + tuple(args[1:])
+        elif command == Command.GOTO:
+            self._z_trim_last_des = None
+            p = np.asarray(args[0], float).copy()
+            if not args[3]:  # absolute target
+                p[2] = max(p[2] - self._z_trim, 0.05)
+            args = (p,) + tuple(args[1:])
+        elif command == Command.TAKEOFF:
+            # Trim the climb target too: an untrimmed takeoff hovers +10 cm
+            # high and the race's first (trimmed) FULLSTATE then commands an
+            # instant 0.2 m drop — a vertical kick into the underdamped
+            # tracker right at the handoff.
+            self._z_trim_last_des = None
+            args = (max(float(args[0]) - self._z_trim, 0.1),) + tuple(args[1:])
+        else:
+            self._z_trim_last_des = None
         return command, args
 
     # -- simulation-only path (PID, edit_this.py cmdSimOnly) --------------------
@@ -368,6 +436,12 @@ class Controller:
             gates = [hint[k] for k in sorted(hint)]
             self.replan(gates)
             self._plan_is_measured = True
+            # The replanned MPCC's nominal frames ARE measured poses; its
+            # repulsion band starts tight (corrections blending is off on
+            # measured plans, so the stage never sees exact frames again).
+            for st in self.sequencer.stages:
+                if isinstance(st, StageActionMPCC):
+                    st.frames_exact = True
         else:
             (self.trajectory, self.flight_traj, self.sequencer,
              self._gate_centers, self._ref_t) = self._nominal_plan

@@ -64,6 +64,7 @@ def run(
     gui: bool = False,
     gui_every: int = 2,
     fused: bool = False,
+    kd_omega_rp: float = 0.0,
 ):
     """Run competition episodes; returns per-episode stats
     (reference getting_started.py run(), :42-342).
@@ -77,8 +78,15 @@ def run(
         env_func = lambda: make_quadrotor(
             _env_config_from_level(level_config, firmware_freq, firmware_freq)
         )
+        # kd_omega_rp=0 is the competition stack's sim2real trim: the stock
+        # attitude-rate-derivative gain (200) is tuned for a real MEMS gyro
+        # and destabilizes against the SITL's finite-difference+LPF gyro
+        # (a 2 m/s hover kick GAINS energy with 200, damps with 0 — see
+        # controllers/mellinger.py).  Pass kd_omega_rp=None for the stock
+        # firmware behavior.
         wrapper = FirmwareWrapper(env_func, firmware_freq, ctrl_freq,
-                                  verbose=verbose, fused=fused)
+                                  verbose=verbose, fused=fused,
+                                  kd_omega_rp=kd_omega_rp)
         env = wrapper.env
     else:
         env = make_quadrotor(_env_config_from_level(level_config, ctrl_freq, ctrl_freq))

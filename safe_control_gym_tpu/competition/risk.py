@@ -230,6 +230,13 @@ class GateCorrector:
             "next_gate_location": self._location(self._next_gate_id),
             "next_gate_correction": self._correction(self._next_gate_id),
             "next_gate_location_is_fuzzy": self._next_gate_id not in self.exact,
+            # Every measured frame pose so far, as (x, y, yaw, height) per
+            # gate id — the MPCC repulsion hinge tracks the TRUE frame
+            # material once revealed (and keeps the wider fuzzy standoff
+            # against the nominal pose until then).
+            "gate_exact_frames": {
+                gid: (p[0], p[1], p[5], p[2]) for gid, p in self.exact.items()
+            },
         }
 
     def _location(self, gate_id) -> np.ndarray:

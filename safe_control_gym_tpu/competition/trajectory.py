@@ -211,6 +211,7 @@ def retime_trajectory(
     gate_radius: float = 0.7,
     n_samples: int = 2000,
     dt_out: float = 0.02,
+    v_first: float = None,
 ) -> DenseTrajectory:
     """TOPP-style retiming of a planned path: cap speed at ``v_max``
     (``v_gate`` within ``gate_radius`` of a gate), enforce the tangential
@@ -227,6 +228,13 @@ def retime_trajectory(
     for g in gate_centers:
         d = np.linalg.norm(ps - np.asarray(g), axis=-1)
         v_lim = np.where(d < gate_radius, np.minimum(v_lim, v_gate), v_lim)
+    if v_first is not None and len(gate_centers):
+        # Cautious first leg: the takeoff->race handoff happens mid-transient
+        # and the stock-gain tracker is underdamped — full race pace before
+        # the first gate turns the handoff kick into a persistent swing
+        # (short first legs, e.g. level2 seed 5's 1.3 m, are the worst).
+        i0 = int(np.linalg.norm(ps - np.asarray(gate_centers[0]), axis=-1).argmin())
+        v_lim[:i0] = np.minimum(v_lim[:i0], v_first)
     v = v_lim.copy()
     v[0] = 0.0
     v[-1] = 0.0

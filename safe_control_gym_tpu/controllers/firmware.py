@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from safe_control_gym_tpu.controllers.mellinger import (
+    KD_OMEGA_RP,
     MellingerState,
     mellinger_control,
     power_distribution,
@@ -113,7 +114,7 @@ class FirmwareWrapper:
 
     def __init__(self, env_func, firmware_freq: int = 500, ctrl_freq: int = 25,
                  verbose=False, action_delay: int = None, sensor_delay: int = None,
-                 fused: bool = False, **kwargs):
+                 fused: bool = False, kd_omega_rp: float = None, **kwargs):
         if action_delay is not None:
             self.ACTION_DELAY = int(action_delay)
         if sensor_delay is not None:
@@ -141,6 +142,10 @@ class FirmwareWrapper:
         # command API, gating and planner stay host-side in f64 (exact
         # semantics); everything dispatched per tick moves into one lax.scan.
         self.fused = bool(fused)
+        # Stock attitude-rate-derivative gain unless overridden: the SITL's
+        # finite-difference gyro makes the stock value destabilizing (see
+        # mellinger.py note); the competition loop passes 0.
+        self.kd_omega_rp = KD_OMEGA_RP if kd_omega_rp is None else float(kd_omega_rp)
         self._fused_step = None  # built lazily at first reset (needs shapes)
 
     # -- lifecycle -------------------------------------------------------------
@@ -235,6 +240,7 @@ class FirmwareWrapper:
         a_low = np.asarray(self.env.spaces.action_low, np.float32)
         a_high = np.asarray(self.env.spaces.action_high, np.float32)
         remap = np.asarray([3, 2, 1, 0])
+        kdo = np.float32(self.kd_omega_rp)
         gl, al = self.gyrolpf[0], self.acclpf[0]
         g_coef = np.asarray([gl.b0, gl.b1, gl.b2, gl.a1, gl.a2], np.float32)
         a_coef = np.asarray([al.b0, al.b1, al.b2, al.a1, al.a2], np.float32)
@@ -298,6 +304,7 @@ class FirmwareWrapper:
                         ms, fdt, cur_pos, cur_vel, cur_rpy, gyro,
                         xs["sp_pos"], xs["sp_vel"], xs["sp_acc"],
                         xs["sp_yaw"], xs["sp_omega"],
+                        kd_omega_rp=kdo,
                     )
                     return power_distribution(control).astype(jnp.float32), ms2
 
@@ -569,6 +576,7 @@ class FirmwareWrapper:
                     jnp.asarray(self.setpoint["acc"], jnp.float32),
                     jnp.asarray(self.setpoint["yaw"], jnp.float32),
                     jnp.asarray(self.setpoint["omega"], jnp.float32),
+                    kd_omega_rp=jnp.asarray(self.kd_omega_rp, jnp.float32),
                 )
                 self.pwms = np.asarray(power_distribution(control))
 

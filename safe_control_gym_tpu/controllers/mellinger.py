@@ -76,6 +76,7 @@ def mellinger_control(
     sp_yaw=0.0,
     sp_omega=None,  # feed-forward body rates (rad/s)
     mass: float = MASS_FW,
+    kd_omega_rp: float = KD_OMEGA_RP,
 ):
     """One Mellinger tick -> (control dict, new state).
 
@@ -119,8 +120,16 @@ def mellinger_control(
     i_error_m = i_error_m.at[:2].set(jnp.clip(i_error_m[:2], -I_RANGE_M_XY, I_RANGE_M_XY))
     i_error_m = i_error_m.at[2].set(jnp.clip(i_error_m[2], -I_RANGE_M_Z, I_RANGE_M_Z))
 
-    Mx = -KR_XY * eR[0] + KW_XY * ew[0] + KI_M_XY * i_error_m[0] + KD_OMEGA_RP * err_d[0]
-    My = -KR_XY * eR[1] + KW_XY * ew[1] + KI_M_XY * i_error_m[1] + KD_OMEGA_RP * err_d[1]
+    # NOTE on kd_omega_rp: the stock 200 is tuned against a REAL MEMS gyro.
+    # The SITL gyro is a finite-difference of Euler angles through a 30 Hz
+    # LPF; err_d differentiates that reconstruction AGAIN at 500 Hz, and the
+    # resulting lag+noise turns the term into negative rate-loop damping —
+    # measured: a 2 m/s hover kick RETURNS at 2.4 m/s and exits the arena
+    # with 200, damps cleanly with 0.  Stock value kept as the default for
+    # firmware parity; the competition stack passes 0 (see
+    # competition/getting_started.py).
+    Mx = -KR_XY * eR[0] + KW_XY * ew[0] + KI_M_XY * i_error_m[0] + kd_omega_rp * err_d[0]
+    My = -KR_XY * eR[1] + KW_XY * ew[1] + KI_M_XY * i_error_m[1] + kd_omega_rp * err_d[1]
     Mz = -KR_Z * eR[2] + KW_Z * ew[2] + KI_M_Z * i_error_m[2]
 
     # Sign conventions at the mixer: with the X-configuration mixing
