@@ -191,7 +191,8 @@ class PPO(BaseController):
                     supports as pq_supports,
                 )
 
-                assert pq_supports(env.config, allow_normalized=True), \
+                assert pq_supports(env.config, allow_normalized=True,
+                                   allow_goal_horizon=True), \
                     "env config outside the fast-planar-quad envelope"
                 self._fp = FastPlanarQuadPolicyRollout(
                     env, cfg.rollout_batch_size, cfg.rollout_steps,

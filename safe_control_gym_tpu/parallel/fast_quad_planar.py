@@ -51,9 +51,15 @@ def _rows_layout(nx: int):
     )
 
 
-def supports(cfg, allow_normalized: bool = False) -> bool:
+def supports(cfg, allow_normalized: bool = False,
+             allow_goal_horizon: bool = False) -> bool:
     """True if the 1D/2D quadrotor config is in this engine's validated
-    envelope (mirrors fast_env.supports / fast_cartpole.supports)."""
+    envelope (mirrors fast_env.supports / fast_cartpole.supports).
+
+    ``allow_goal_horizon``: the policy-in-kernel engine evaluates the
+    goal-horizon observation extension rows in-kernel (same pattern as
+    fast_policy.goal_ext_rows); the plain open-loop rollout engine does
+    not record observations, so it keeps requiring ``obs_goal_horizon == 0``."""
     from safe_control_gym_tpu.envs import quadrotor as Q
 
     if int(cfg.quad_type) not in (1, 2):
@@ -79,7 +85,8 @@ def supports(cfg, allow_normalized: bool = False) -> bool:
         and (cfg.task == "stabilization"
              or (cfg.task == "traj_tracking"
                  and ti.get("trajectory_type") in ("figure8", "circle", "square")))
-        and int(cfg.obs_goal_horizon) == 0
+        and (int(cfg.obs_goal_horizon) == 0
+             or (allow_goal_horizon and cfg.cost == "rl_reward"))
         and impulse_ok and act_dist_ok and obs_dist_ok
         and cfg.adversary_disturbance is None
         and not (cfg.gates or cfg.obstacles)
@@ -103,6 +110,52 @@ def _actuate(t, p):
     pwm = jnp.clip(pwm, p["min_pwm"], p["max_pwm"])
     rpm = p["pwm_scale"] * pwm + p["pwm_const"]
     return rpm * rpm * p["kf"]
+
+
+def goal_rows(p, step_f):
+    """Goal reference rows at control-step tile ``step_f``: the static goal
+    for stabilization, the closed-form planar curve for tracking — the
+    kernel-side equivalent of the general engine's X_GOAL table row
+    (benchmark_env.py:124-170 generators).  Shared by the reward path
+    (step_env_core) and the goal-horizon obs extension (goal_ext_rows)."""
+    nx = p["nx"]
+    zero_t = jnp.zeros_like(step_f)
+    if p["task"] == "stab":
+        return [jnp.full_like(step_f, v) for v in p["x_goal"]]
+    t = step_f * p["ctrl_dt"]
+    a_p, b_p, a_v, b_v = eval_curve(p, t)
+
+    def pick(sel):
+        if sel == 0:
+            return a_p + p["plane_off"][0], a_v
+        if sel == 1:
+            return b_p + p["plane_off"][1], b_v
+        return zero_t, zero_t
+
+    if nx == 2:
+        gz, gvz = pick(p["z_sel"])
+        return [gz, gvz]
+    gx, gvx = pick(p["x_sel"])
+    gz, gvz = pick(p["z_sel"])
+    return [gx, gvx, gz, gvz, zero_t, zero_t]
+
+
+def goal_ext_rows(p, step_tile, first_idx_offset):
+    """Goal-horizon extension rows for an obs produced at control step
+    ``step_tile`` (benchmark_env.py:406-420, quadrotor._extend_obs):
+    stabilization appends the static goal once; tracking appends the next
+    ``obs_goal_horizon`` reference rows, indices clipped to the end of the
+    episode table — same pattern as fast_policy.goal_ext_rows."""
+    if p.get("obs_mul", 1) <= 1:
+        return []
+    if p["task"] == "stab":
+        return [jnp.full_like(step_tile, v) for v in p["x_goal"]]
+    rows = []
+    tmax = p["max_steps"] - 1.0
+    for i in range(p["obs_goal_horizon"]):
+        idx = jnp.minimum(step_tile + (first_idx_offset + i), tmax)
+        rows += goal_rows(p, idx)
+    return rows
 
 
 def step_env_core(p, carry, thrust_rows, it, draw, act_rows=None):
@@ -187,26 +240,7 @@ def step_env_core(p, carry, thrust_rows, it, draw, act_rows=None):
             )
 
     # -- goal reference (static goal or closed-form planar curve) -----------
-    if p["task"] == "stab":
-        goal = [jnp.full_like(step_f, v) for v in p["x_goal"]]
-    else:
-        t = step_f * p["ctrl_dt"]
-        a_p, b_p, a_v, b_v = eval_curve(p, t)
-
-        def pick(sel):
-            if sel == 0:
-                return a_p + p["plane_off"][0], a_v
-            if sel == 1:
-                return b_p + p["plane_off"][1], b_v
-            return zero_t, zero_t
-
-        if nx == 2:
-            gz, gvz = pick(p["z_sel"])
-            goal = [gz, gvz]
-        else:
-            gx, gvx = pick(p["x_sel"])
-            gz, gvz = pick(p["z_sel"])
-            goal = [gx, gvx, gz, gvz, zero_t, zero_t]
+    goal = goal_rows(p, step_f)
 
     # -- violation (pure box constraint program on state/input) -------------
     viol = None
@@ -327,12 +361,14 @@ def _rollout_kernel(seed_ref, act_ref, st_ref, out_ref, *, p):
 
 
 def build_engine_params(env, steps_per_call: int, interpret: bool,
-                        allow_normalized: bool = False) -> dict:
+                        allow_normalized: bool = False,
+                        allow_goal_horizon: bool = False) -> dict:
     """Static kernel-parameter dict from a 1D/2D quadrotor env config."""
     from safe_control_gym_tpu.envs import quadrotor as Q
 
     cfg = env.config
-    assert supports(cfg, allow_normalized=allow_normalized), \
+    assert supports(cfg, allow_normalized=allow_normalized,
+                    allow_goal_horizon=allow_goal_horizon), \
         "config outside the fast-planar-quad envelope"
     nx, nu = _nx_nu(cfg.quad_type)
     L = _rows_layout(nx)
@@ -487,6 +523,14 @@ def build_engine_params(env, steps_per_call: int, interpret: bool,
         x_sel=x_sel, z_sel=z_sel, plane_off=plane_off,
         cost={"quadratic": "quad"}.get(cfg.cost, "rl"),
         rand_nominal=tuple(nominal), rand_lo=tuple(lo), rand_hi=tuple(hi),
+        # Goal-horizon obs extension (quadrotor._extend_obs semantics:
+        # tracking appends the next h reference rows, stabilization appends
+        # the static goal once; active only on the rl_reward cost).
+        obs_goal_horizon=int(cfg.obs_goal_horizon),
+        obs_mul=(
+            ((1 + int(cfg.obs_goal_horizon)) if cfg.task == "traj_tracking" else 2)
+            if (cfg.cost == "rl_reward" and int(cfg.obs_goal_horizon) > 0) else 1
+        ),
     )
 
 
@@ -642,9 +686,10 @@ def _policy_rollout_kernel(
     if p["use_prng"]:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     nx, nu = p["nx"], p["nu"]
+    obs_dim = nx * p.get("obs_mul", 1)
     L = p["_L"]
     n_rows = L["NROWS"]
-    traj_rows = 2 * nx + nu + 5
+    traj_rows = 2 * obs_dim + nu + 5
     rows = st_ref[:]
     w1, b1 = w1_ref[:], b1_ref[:]
     w2, b2 = w2_ref[:], b2_ref[:]
@@ -656,7 +701,7 @@ def _policy_rollout_kernel(
         (lambda z: jnp.maximum(z, 0.0))
 
     def forward(obs_rows):
-        X = jnp.stack(obs_rows, 0).reshape(nx, BB)
+        X = jnp.stack(obs_rows, 0).reshape(obs_dim, BB)
         h = act_fn(jnp.dot(w1, X, preferred_element_type=jnp.float32) + b1)
         h = act_fn(jnp.dot(w2, h, preferred_element_type=jnp.float32) + b2)
         O = jnp.dot(w3, h, preferred_element_type=jnp.float32) + b3  # (8, BB)
@@ -670,7 +715,10 @@ def _policy_rollout_kernel(
         # state stays clean (envs/quadrotor.py _obs semantics).
         s_pre = obs_noise_rows(p, draw, s_pre, 11.0)
 
-        means, value = forward(list(s_pre))
+        # Obs = (noisy) state + goal-horizon extension at next_step =
+        # ctrl_step + 1 (quadrotor._obs -> _extend_obs); goals stay clean.
+        obs_rows = list(s_pre) + goal_ext_rows(p, carry[L["STEP"]], 1.0)
+        means, value = forward(obs_rows)
 
         # Gaussian sampling (Box-Muller) + log-prob + action preprocessing.
         u = draw(2 * nu, 7.0)
@@ -715,10 +763,13 @@ def _policy_rollout_kernel(
         # Terminal obs is NOISY in the general engine (_obs of the new
         # state), so the truncation bootstrap sees the trained channel.
         s_term = obs_noise_rows(p, draw, s_post, 13.0)
+        term_rows = [si * truncf for si in s_term] + [
+            g * truncf for g in goal_ext_rows(p, carry[L["STEP"]], 2.0)
+        ]
         record = jnp.stack(
-            list(s_pre)
+            obs_rows
             + act_rows + [rew, donef, truncf, v_tile, logp_tile]
-            + [si * truncf for si in s_term],  # terminal obs, masked
+            + term_rows,  # terminal obs, masked
             axis=0,
         )
         scratch_ref[slot] = record
@@ -758,14 +809,15 @@ class FastPlanarQuadPolicyRollout:
         self.H = mlp_hidden
         self._auto_seed = 1
         self.params = build_engine_params(env, steps_per_call, interpret,
-                                          allow_normalized=True)
+                                          allow_normalized=True,
+                                          allow_goal_horizon=True)
         self.params["mlp_act"] = mlp_act
         self.params["_sub"] = sub
         self.params["_lanes"] = self.lanes
         self.nx = self.params["nx"]
         self.nu = self.params["nu"]
-        self.obs_dim = self.nx
-        self.traj_rows = 2 * self.nx + self.nu + 5
+        self.obs_dim = self.nx * self.params.get("obs_mul", 1)
+        self.traj_rows = 2 * self.obs_dim + self.nu + 5
         self.n_rows = self.params["_L"]["NROWS"]
         kern = functools.partial(_policy_rollout_kernel, p=dict(self.params))
         Ln = self.lanes
@@ -781,7 +833,7 @@ class FastPlanarQuadPolicyRollout:
                 in_specs=[
                     smem(),          # seed
                     smem(),          # logstd (nu,)
-                    vmem(), vmem(),  # w1 (2H, nx), b1 (2H, 1)
+                    vmem(), vmem(),  # w1 (2H, obs_dim), b1 (2H, 1)
                     vmem(), vmem(),  # w2 (2H, 2H), b2 (2H, 1)
                     vmem(), vmem(),  # w3 (8, 2H), b3 (8, 1)
                     spec(self.n_rows),
@@ -840,22 +892,22 @@ class FastPlanarQuadPolicyRollout:
     def unpack_traj(self, traj):
         """(T, traj_rows, 8, L) record -> PPO field dict, (T, B, ...)."""
         T = traj.shape[0]
-        nx, nu = self.nx, self.nu
+        od, nu = self.obs_dim, self.nu
         flat = traj.reshape(T, self.traj_rows, self.B)
 
         def mat(sl):
             return jnp.moveaxis(flat[:, sl], 1, 2)
 
         return {
-            "obs": mat(slice(0, nx)),
-            "act": mat(slice(nx, nx + nu)),
-            "rew": flat[:, nx + nu],
-            "done": flat[:, nx + nu + 1],
-            "mask": 1.0 - flat[:, nx + nu + 1],
-            "trunc": flat[:, nx + nu + 2],
-            "v": flat[:, nx + nu + 3],
-            "logp": flat[:, nx + nu + 4],
-            "term_obs": mat(slice(nx + nu + 5, 2 * nx + nu + 5)),
+            "obs": mat(slice(0, od)),
+            "act": mat(slice(od, od + nu)),
+            "rew": flat[:, od + nu],
+            "done": flat[:, od + nu + 1],
+            "mask": 1.0 - flat[:, od + nu + 1],
+            "trunc": flat[:, od + nu + 2],
+            "v": flat[:, od + nu + 3],
+            "logp": flat[:, od + nu + 4],
+            "term_obs": mat(slice(od + nu + 5, 2 * od + nu + 5)),
         }
 
     def states(self, rows):
@@ -863,15 +915,30 @@ class FastPlanarQuadPolicyRollout:
         return jnp.moveaxis(rows[:self.nx].reshape(self.nx, self.B), 0, 1)
 
     def observe(self, rows, key=None):
-        """(B, nx) observation (no goal-horizon support in this engine).
+        """(B, obs_dim) observation: state + goal-horizon extension at
+        next_step = ctrl_step + 1, gathered from the env's X_GOAL table
+        exactly like the general engine (quadrotor._extend_obs).  Used for
+        the GAE bootstrap value of the post-rollout state.
 
-        With obs white noise configured and ``key`` given, noised like the
-        general engine's _obs (the GAE bootstrap critic input)."""
+        With obs white noise configured and ``key`` given, the state part is
+        noised like the general engine's _obs (the bootstrap critic input is
+        the noisy channel; goal rows stay clean)."""
         x = self.states(rows)
         std = self.params.get("obs_noise_std", 0.0)
         if std > 0.0 and key is not None:
             x = x + std * jax.random.normal(key, x.shape, x.dtype)
-        return x
+        if self.params.get("obs_mul", 1) <= 1:
+            return x
+        xg = jnp.asarray(np.asarray(self.env.x_goal, np.float32))
+        if self.params["task"] == "stab":
+            ext = jnp.broadcast_to(xg.reshape(-1), (self.B, self.nx))
+            return jnp.concatenate([x, ext], axis=-1)
+        steps = rows[self.params["_L"]["STEP"]].reshape(self.B).astype(jnp.int32)
+        h = self.params["obs_goal_horizon"]
+        idx = jnp.clip(steps[:, None] + 1 + jnp.arange(h)[None, :],
+                       0, xg.shape[0] - 1)  # (B, h)
+        ext = xg[idx].reshape(self.B, h * self.nx)
+        return jnp.concatenate([x, ext], axis=-1)
 
     def run(self, rows, weights, seed=None):
         """One dispatch = T policy-driven env steps; returns

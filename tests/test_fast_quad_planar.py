@@ -50,7 +50,12 @@ def test_supports_envelope():
     assert not supports(_cfg(quad_type=3))  # 3D is fast_env's
     assert not supports(_cfg(physics="pyb_gnd"))
     assert not supports(_cfg(adversary_disturbance="dynamics"))
-    assert not supports(_cfg(obs_goal_horizon=2))
+    assert not supports(_cfg(obs_goal_horizon=2))  # plain rollout engine
+    # The policy-in-kernel engine evaluates goal-horizon rows in-kernel
+    # (rl_reward only, same as fast_env.supports).
+    assert supports(_cfg(obs_goal_horizon=2), allow_goal_horizon=True)
+    assert not supports(_cfg(obs_goal_horizon=2, cost="quadratic"),
+                        allow_goal_horizon=True)
     assert not supports(_cfg(done_on_violation=True))
     assert not supports(_cfg(constraints=(
         {"constraint_form": "linear_constraint", "constrained_variable": "state",
@@ -323,3 +328,86 @@ def test_policy_kernel_applies_obs_noise():
     resid = noisy - clean
     assert np.abs(resid).max() > 1e-3  # noise present
     assert abs(resid.std() - 0.05) < 0.01  # ~N(0, 0.05)
+
+
+def test_goal_horizon_obs_in_kernel_planar():
+    """Goal-horizon obs extension (quadrotor._extend_obs,
+    benchmark_env.py:406-420) evaluated in-kernel for the PLANAR policy
+    engine: recorded obs carry the next-h reference rows exactly as the
+    general engine's X_GOAL table gives them, value/logp are computed on the
+    extended obs, observe() reproduces the post-rollout extended obs, and
+    PPO trains through the fast path (VERDICT r3 item 7)."""
+    from safe_control_gym_tpu.controllers.ppo import PPO
+    from safe_control_gym_tpu.parallel.fast_quad_planar import (
+        FastPlanarQuadPolicyRollout,
+    )
+
+    h = 3
+    cfg = _cfg(
+        task="traj_tracking",
+        task_info={"trajectory_type": "figure8", "trajectory_plane": "zx",
+                   "trajectory_position_offset": [0.5, 0.0],
+                   "trajectory_scale": 0.5, "num_cycles": 1},
+        normalized_rl_action_space=True,
+        obs_goal_horizon=h,
+    )
+    env = make_quadrotor(cfg)
+    assert env.spaces.obs_dim == 6 * (1 + h)
+    fp = FastPlanarQuadPolicyRollout(env, B, 4, interpret=True)
+    assert fp.obs_dim == 6 * (1 + h)
+    ppo = PPO(env, seed=0, rollout_batch_size=B, rollout_steps=4)
+    w = fp.pack_weights(ppo.state.ac.actor_params, ppo.state.ac.critic_params,
+                        ppo.state.ac.logstd)
+    rows = fp.reset(0)
+    new_rows, traj = fp.run(rows, w, seed=3)
+    d = fp.unpack_traj(traj)
+    assert d["obs"].shape == (4, B, 24) and d["term_obs"].shape == (4, B, 24)
+
+    # Goal blocks at step t are the table rows clip(t+1 .. t+h) — every env
+    # starts at ctrl_step 0 and none terminates within 4 steps.
+    xg = np.asarray(env.x_goal, np.float32)
+    for t in range(4):
+        for i in range(h):
+            np.testing.assert_allclose(
+                np.asarray(d["obs"][t, :, 6 * (1 + i):6 * (2 + i)]),
+                np.broadcast_to(xg[min(t + 1 + i, xg.shape[0] - 1)], (B, 6)),
+                rtol=1e-5, atol=1e-6,
+            )
+    # Value/logp computed on the extended obs.
+    np.testing.assert_allclose(
+        np.asarray(d["v"][0]),
+        np.asarray(ppo._value(ppo.state.ac, jnp.asarray(d["obs"][0]))),
+        rtol=2e-4, atol=2e-4,
+    )
+    # observe(): post-rollout extended obs (steps advanced to 4).
+    full_obs = np.asarray(fp.observe(new_rows))
+    assert full_obs.shape == (B, 24)
+    np.testing.assert_allclose(full_obs[:, :6], np.asarray(fp.states(new_rows)),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        full_obs[:, 6:12], np.broadcast_to(xg[5], (B, 6)), rtol=1e-5, atol=1e-6)
+
+    # PPO trains end-to-end through the fast path on the extended obs.
+    ppo_t = PPO(env, seed=0, rollout_batch_size=B, rollout_steps=4,
+                opt_epochs=2, mini_batch_size=B * 2,
+                use_fast_rollout=True, fast_interpret=True)
+    assert isinstance(ppo_t._fp, FastPlanarQuadPolicyRollout)
+    s, m = ppo_t._train_step(ppo_t.state)
+    for k in ("policy_loss", "value_loss", "approx_kl"):
+        assert np.isfinite(float(jax.device_get(m[k]))), k
+
+    # Stabilization variant appends the static goal once (mul=2).
+    cfg_s = _cfg(normalized_rl_action_space=True, obs_goal_horizon=2)
+    env_s = make_quadrotor(cfg_s)
+    assert env_s.spaces.obs_dim == 12
+    fp_s = FastPlanarQuadPolicyRollout(env_s, B, 2, interpret=True)
+    assert fp_s.obs_dim == 12
+    ppo_s = PPO(env_s, seed=0, rollout_batch_size=B, rollout_steps=2)
+    w_s = fp_s.pack_weights(ppo_s.state.ac.actor_params,
+                            ppo_s.state.ac.critic_params, ppo_s.state.ac.logstd)
+    _, traj_s = fp_s.run(fp_s.reset(0), w_s, seed=1)
+    d_s = fp_s.unpack_traj(traj_s)
+    xg_s = np.asarray(env_s.x_goal, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(d_s["obs"][0, :, 6:]), np.broadcast_to(xg_s, (B, 6)),
+        rtol=1e-6, atol=1e-7)
