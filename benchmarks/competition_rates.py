@@ -104,9 +104,11 @@ def main():
     artifact = {
         "metric": "competition_completion_rates",
         "seeds_per_cell": args.seeds,
-        "note": ("full firmware-in-the-loop episodes on CPU; spawn-seed "
-                 "roulette is part of the benchmark (see docs/PARITY.md); "
-                 "completion = all gates passed in one episode"),
+        "note": ("full firmware-in-the-loop episodes (fused on-device tick "
+                 "loop, run() default) on CPU; spawn-seed roulette is part "
+                 "of the benchmark (see docs/PARITY.md); completion = all "
+                 "gates passed in one episode; per-seed rows carry 500 Hz "
+                 "min gate/obstacle clearances for failure diagnosis"),
         "cells": results,
     }
     line = json.dumps(artifact)

@@ -52,6 +52,38 @@ def _reset_info(env, obs, ctrl_freq=None):
     }
 
 
+def _enable_jit_cache():
+    """Persistent XLA compilation cache for competition runs.
+
+    The interactive episode's wall clock is dominated on first run by
+    compiles (fused firmware block + the two MPCC solver variants,
+    ~30-45 s on CPU); the reference pays no such cost because its firmware
+    is a prebuilt C binary.  The on-disk cache amortizes it to the FIRST
+    run ever: later processes (sweeps, tests, repeat runs) deserialize the
+    executables in ~1 s.  Opt out with SCG_JIT_CACHE=0.
+
+    Default ON only for TPU-class platforms: the XLA:CPU AOT cache records
+    compile-machine tuning flags (prefer-no-scatter/gather) that the loader
+    flags as feature mismatches on reload (SIGILL-class warnings); CPU runs
+    must opt in with SCG_JIT_CACHE=1."""
+    import os
+
+    flag = os.environ.get("SCG_JIT_CACHE", "")
+    if flag == "0":
+        return
+    if not flag and jax.default_backend() not in ("tpu", "axon"):
+        return
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("SCG_JIT_CACHE_DIR",
+                           os.path.expanduser("~/.cache/scg_tpu_jit")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # unknown flags on exotic jax builds: cache is optional
+        pass
+
+
 def run(
     level_config: dict,
     num_episodes: int = 1,
@@ -63,7 +95,7 @@ def run(
     controller_cls=Controller,
     gui: bool = False,
     gui_every: int = 2,
-    fused: bool = False,
+    fused: bool = True,
     kd_omega_rp: float = 0.0,
 ):
     """Run competition episodes; returns per-episode stats
@@ -73,6 +105,7 @@ def run(
     base_aviary.py:150-189) and syncs the loop to wall clock
     (getting_started.py:245-246); on a display-less host it degrades to
     buffering frames, written to ``gui_episode<N>.gif`` per episode."""
+    _enable_jit_cache()
     episodes = []
     if use_firmware:
         env_func = lambda: make_quadrotor(
@@ -128,6 +161,7 @@ def run(
         cum_reward = 0.0
         collisions = 0
         gates_passed = 0
+        min_gate_m = min_obst_m = None  # tick-rate clearance minima (fused)
         # Idle motors spin at MIN_PWM (the firmware wrapper's PWM clip floor),
         # so the initial action is the corresponding per-motor force — zeros
         # would trip the level configs' default input constraint at step 1.
@@ -158,6 +192,12 @@ def run(
             cum_reward += float(reward)
             if step_info:
                 collisions += int(np.asarray(step_info.get("collision", 0)))
+            bc = getattr(wrapper, "block_clearance", None) if use_firmware else None
+            if bc is not None and bc["gates"].size:
+                min_gate_m = bc["gates"] if min_gate_m is None \
+                    else np.minimum(min_gate_m, bc["gates"])
+                min_obst_m = bc["obstacles"] if min_obst_m is None \
+                    else np.minimum(min_obst_m, bc["obstacles"])
             ctrl.interStepLearn()
             if viewer is not None:
                 viewer.update(np.asarray(obs)[:12], t=t, reward=float(reward))
@@ -176,16 +216,22 @@ def run(
             if saved and verbose:
                 print(f"episode {ep}: wrote {saved}")
         ctrl.interEpisodeLearn()
-        episodes.append(
-            {
-                "reward": cum_reward,
-                "collisions": collisions,
-                "gates_passed": gates_passed,
-                "steps": i + 1,
-                "steps_per_sec": (i + 1) / elapsed,
-                "sim_speedup": ((i + 1) / ctrl_freq) / elapsed,
-            }
-        )
+        ep_stats = {
+            "reward": cum_reward,
+            "collisions": collisions,
+            "gates_passed": gates_passed,
+            "steps": i + 1,
+            "steps_per_sec": (i + 1) / elapsed,
+            "sim_speedup": ((i + 1) / ctrl_freq) / elapsed,
+        }
+        if min_gate_m is not None:
+            # Per-gate / per-obstacle signed-margin minima at the 500 Hz
+            # tick rate (fused loop diagnostics: a 25 Hz sample can miss an
+            # 8 cm excursion at race speed) — the robustness sweeps' primary
+            # failure-diagnosis signal.
+            ep_stats["min_gate_margin"] = [round(float(v), 4) for v in min_gate_m]
+            ep_stats["min_obstacle_margin"] = [round(float(v), 4) for v in min_obst_m]
+        episodes.append(ep_stats)
         if verbose:
             print(f"episode {ep}: {episodes[-1]}")
     return episodes

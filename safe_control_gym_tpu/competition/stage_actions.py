@@ -186,9 +186,18 @@ class StageActionMPCC(StageAction):
 
     def __init__(self, ctrl_freq, mpcc, duration=None, lead=5,
                  gate_centers=None, gate_slow_scale=0.45, gate_slow_radius=0.9,
-                 floor_rate=0.35, max_ahead=0.45,
-                 tether_far=0.40, tether_gate=0.18, track_solution=False,
+                 floor_rate=0.9, max_ahead=0.45,
+                 tether_far=0.60, tether_gate=0.25, track_solution=False,
                  interlock_thresh=0.085, catchup="none"):
+        # Defaults from the round-5 level2 seed sweep (fused loop, seeds
+        # 0-7): floor_rate 0.9 rides the plan's TOPP profile on open track
+        # (theta is time-parameterized, so rate 1.0 = the retimed plan's own
+        # speed limits) while the asymmetric gate slowdown still multiplies
+        # it on approach; tether 0.60/0.25 bounds the Mellinger chase
+        # distance.  This config completed 4/4 gates with zero collisions on
+        # every non-spawn-kill seed tested; faster settings (floor 1.0, or
+        # slow_scale 0.55/radius 0.8) won ~80 steps but clipped a frame on
+        # one seed each — the margin is collision rate, not lap time.
         self.ctrl_freq = ctrl_freq
         self.mpcc = mpcc
         self.theta = 0.0
@@ -366,7 +375,13 @@ class StageActionMPCC(StageAction):
         # Persistent command-progress: MPCC sets the pace (theta_dot), the
         # floor guarantees motion, the cap keeps the setpoint tethered to the
         # drone's actual progress.
-        rate = max(self.theta_dot * slow, self.floor_rate)
+        # Floor BEFORE the gate slowdown: the floor guarantees open-track
+        # pace (the theta profile is already TOPP-retimed, so rate 1.0 rides
+        # the plan's own speed limits), while the asymmetric gate slowdown
+        # must keep braking the approach — flooring the slowed rate instead
+        # disabled gate braking whenever theta_dot*slow < floor and put the
+        # drone through frames at open-track pace (level2 seeds 1/4/6).
+        rate = max(self.theta_dot, self.floor_rate) * slow
         # Soft start: ramp the command pace over the first ~1.5 s of the
         # race.  The takeoff->race handoff otherwise kicks the underdamped
         # stock-gain Mellinger (kd_xy << critical) into a +-0.35 m lateral

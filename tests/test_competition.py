@@ -225,8 +225,12 @@ def test_level2_firmware_mpcc_races_default_path():
     """Level2 with the DEFAULT stack — MPCC racing stage (use_mpcc defaults
     True, matching the reference where MPCC IS the racing controller,
     edit_this.py:116-138): all 4 gates, zero collisions, and strictly better
-    than the spline stage (course completion bonus earned, ~300 fewer steps;
-    the spline run above needs the full 825-step episode)."""
+    than the spline stage (course COMPLETED with the goal-stabilization
+    bonus earned, ~100 fewer steps; the spline run above needs the full
+    825-step episode and scores 0).  The round-5 default pace is tuned for
+    collision rate over lap time (stage_actions.StageActionMPCC defaults):
+    faster settings won ~80 steps but clipped a gate frame on one
+    level2 seed each in the 8-seed sweep."""
     from safe_control_gym_tpu.competition.controller import Controller
     from safe_control_gym_tpu.competition.getting_started import run
 
@@ -240,7 +244,7 @@ def test_level2_firmware_mpcc_races_default_path():
     assert eps[0]["collisions"] == 0, eps
     assert eps[0]["gates_passed"] == 4, eps
     assert eps[0]["reward"] >= 300, eps   # spline scores 0 on this seed
-    assert eps[0]["steps"] < 650, eps     # racing, not crawling
+    assert eps[0]["steps"] < 800, eps     # completes early; spline never does
 
 
 def test_multi_episode_risk_flow_level2_reckless_level3_conservative():
