@@ -106,3 +106,19 @@ def test_shard_map_rollout_fn(setup):
     m1 = jax.device_get(carry1.stats.means())
     assert int(stats["episodes"]) == int(m1["episodes"])
     np.testing.assert_allclose(stats["mean_return"], m1["mean_return"], rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_gate_on_cpu_mesh():
+    """The driver's multichip dryrun doubles as a sharded correctness gate
+    (VERDICT r3 item 6): whole-rollout Pallas kernels under shard_map
+    step-equal vs unsharded, update-kernel psum'd grads equal vs the
+    sequential sum, and a sharded PPO train step — all on the 8-device
+    virtual CPU mesh (same entry the driver runs)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)  # raises on any path failing its assertions
