@@ -212,37 +212,54 @@ def pod_projection(rows, probe):
     if not probe or "per_step_us" not in probe:
         return {"error": "no real-chip probe available"}
     b = probe["per_step_us"] * 1e-6
-    a_chip = probe["per_call_overhead_ms"] * 1e-3
-    S = 512
-    t_compute = S * b
+    a_tunnel = probe["per_call_overhead_ms"] * 1e-3
+    # The measured per-call floor on THIS setup is dominated by the dev
+    # tunnel's ~5 ms round trip — a property of the development harness,
+    # not of a pod host.  Project under both floors: the measured tunnel
+    # floor (pessimistic bound) and a 0.5 ms directly-attached dispatch
+    # budget (generous vs the ~100 us typical jit-dispatch floor).
+    a_attached = 0.5e-3
     coord_by_n = {r["processes"]: r["per_call_overhead_ms"] * 1e-3
                   for r in rows}
     max_meas = max(coord_by_n)
     out = {
         "assumptions": {
-            "steps_per_rollout_call": S,
-            "per_step_compute_s": round(t_compute, 6),
-            "per_call_dispatch_floor_s": round(a_chip, 6),
+            "per_step_compute_us": probe["per_step_us"],
+            "dispatch_floors_s": {"measured_tunnel": round(a_tunnel, 6),
+                                  "attached_host": a_attached},
             "coord_scenarios": {
                 "measured_gloo": "CPU-cluster slope-fit per-call overhead "
                                  "(TCP loopback, 1-core box; pessimistic)",
                 "ici": "100 us/call collective budget (episode-stats psum "
                        "<1 KB; public ICI all-reduce latency class)",
             },
+            "model": "eff = S*b / (S*b + floor + coord); per-host compute "
+                     "constant in N (env shards are data-independent)",
             "not_modeled": "stragglers, DCN jitter, >1 collective per call",
         },
         "rows": [],
     }
     for n in (2, 4, 8):
         a_gloo = coord_by_n.get(n, coord_by_n[max_meas])
-        eff_gloo = t_compute / (t_compute + a_chip + a_gloo)
-        eff_ici = t_compute / (t_compute + a_chip + 100e-6)
-        out["rows"].append({
-            "hosts": n,
-            "projected_efficiency_measured_gloo": round(eff_gloo, 4),
-            "projected_efficiency_ici": round(eff_ici, 4),
-            "coord_measured": n in coord_by_n,
-        })
+        for S in (512, 4096):
+            t_c = S * b
+            out["rows"].append({
+                "hosts": n,
+                "steps_per_call": S,
+                "coord_measured": n in coord_by_n,
+                "eff_attached_ici": round(t_c / (t_c + a_attached + 100e-6), 4),
+                "eff_attached_gloo": round(t_c / (t_c + a_attached + a_gloo), 4),
+                "eff_tunnel_ici": round(t_c / (t_c + a_tunnel + 100e-6), 4),
+                "eff_tunnel_gloo": round(t_c / (t_c + a_tunnel + a_gloo), 4),
+            })
+    # Headline: the pod-relevant cell (attached host, ICI-class collective,
+    # production rollout length) and the everything-pessimistic cell.
+    out["headline"] = {
+        "pod_projection_attached_ici_S4096":
+            out["rows"][1]["eff_attached_ici"],
+        "worst_case_tunnel_gloo_S512":
+            min(r["eff_tunnel_gloo"] for r in out["rows"]),
+    }
     return out
 
 
