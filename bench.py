@@ -41,6 +41,31 @@ B = 4096
 STEPS_PER_CALL = 256
 BASELINE_TARGET = 1e7
 
+# Per-engine device-busy bookkeeping (VERDICT r3 item 8): each bench
+# records wall time at TWO call counts; the linear fit t(N) = a + N*b
+# separates the per-region overhead ``a`` (dispatch pipeline fill + the
+# final device_get round trip — ~7 ms on this tunnel) from the per-call
+# device time ``b``.  device_busy_frac = N*b / t(N): the fraction of the
+# timed wall in which the device, not the host/tunnel, is the bottleneck.
+_BUSY = {}
+
+
+def _busy_record(name, t1, tn, n):
+    b = max((tn - t1) / (n - 1), 1e-12)
+    a = max(t1 - b, 0.0)
+    _BUSY[name] = {
+        "device_busy_frac": round(n * b / (a + n * b), 4),
+        "per_call_s": round(b, 6),
+        "per_region_overhead_s": round(a, 6),
+    }
+
+
+# bf16 MXU peak by device kind, for the MFU-style utilization estimate of
+# the MLP-matmul engines.  The kernels run f32 (accumulation exactness is
+# load-bearing for step-equality), so the quoted MFU is vs the bf16 peak —
+# a deliberately conservative denominator, stated in the artifact.
+_PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v4": 275e12, "TPU v5p": 459e12}
+
 
 def build():
     cfg = QuadrotorConfig(
@@ -96,10 +121,10 @@ def bench_fast():
     if not supports(cfg):
         return None
     env = make_quadrotor(cfg)
-    S, iters = 8192, 2
+    S, iters = 8192, 4
     fr = FastQuadRollout(env, B, steps_per_call=S)
     act = fr.prepare_action(np.full(4, float(env.u_goal[0])))
-    seeds = [jnp.asarray([i], jnp.int32) for i in range(iters + 2)]
+    seeds = [jnp.asarray([i], jnp.int32) for i in range(iters + 3)]
     jax.block_until_ready(seeds[-1])
     rows = fr.reset(seed=0)
     rows = fr.run(rows, act, seeds[0])
@@ -107,10 +132,15 @@ def bench_fast():
     rows = fr.run(rows, act, seeds[1])
     jax.device_get(rows)
     t0 = time.perf_counter()
+    rows = fr.run(rows, act, seeds[2])
+    jax.device_get(rows)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
     for i in range(iters):
-        rows = fr.run(rows, act, seeds[2 + i])
+        rows = fr.run(rows, act, seeds[3 + i])
     jax.device_get(rows)
     dt = time.perf_counter() - t0
+    _busy_record("fast", t1, dt, iters)
     return iters * S * B / dt
 
 
@@ -159,7 +189,7 @@ def bench_maze():
     if not supports(cfg, allow_maze=True):
         return None
     env = make_quadrotor(cfg)
-    S, iters = 8192, 2
+    S, iters = 8192, 4
     fr = FastQuadRollout(env, B, steps_per_call=S)
     act = fr.prepare_action(np.full(4, float(env.u_goal[0])))
     rows = fr.reset(seed=0)
@@ -168,10 +198,15 @@ def bench_maze():
     rows = fr.run(rows, act, 2)
     jax.device_get(rows)
     t0 = time.perf_counter()
+    rows = fr.run(rows, act, 3)
+    jax.device_get(rows)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
     for i in range(iters):
-        rows = fr.run(rows, act, 3 + i)
+        rows = fr.run(rows, act, 4 + i)
     jax.device_get(rows)
     dt = time.perf_counter() - t0
+    _busy_record("maze", t1, dt, iters)
     return iters * S * B / dt
 
 
@@ -204,7 +239,7 @@ def bench_cartpole():
     if not supports(cfg):
         return None
     env = make_cartpole(cfg)
-    S, iters = 8192, 2
+    S, iters = 8192, 4
     fr = FastCartPoleRollout(env, B, steps_per_call=S)
     act = fr.prepare_action(np.asarray([0.0]))
     rows = fr.reset(seed=0)
@@ -213,10 +248,15 @@ def bench_cartpole():
     rows = fr.run(rows, act, 2)
     jax.device_get(rows)
     t0 = time.perf_counter()
+    rows = fr.run(rows, act, 3)
+    jax.device_get(rows)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
     for i in range(iters):
-        rows = fr.run(rows, act, 3 + i)
+        rows = fr.run(rows, act, 4 + i)
     jax.device_get(rows)
     dt = time.perf_counter() - t0
+    _busy_record("cartpole", t1, dt, iters)
     return iters * S * B / dt
 
 
@@ -247,7 +287,7 @@ def bench_quad2d():
         return None
     env = make_quadrotor(cfg)
     hover = float(env.u_goal[0])
-    S, iters = 4096, 2
+    S, iters = 4096, 4
     fr = FastPlanarQuadRollout(env, B, steps_per_call=S)
     act = fr.prepare_action(np.full(2, hover, np.float32))
     rows = fr.reset(seed=0)
@@ -256,10 +296,15 @@ def bench_quad2d():
     rows = fr.run(rows, act, 2)
     jax.device_get(rows)
     t0 = time.perf_counter()
+    rows = fr.run(rows, act, 3)
+    jax.device_get(rows)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
     for i in range(iters):
-        rows = fr.run(rows, act, 3 + i)
+        rows = fr.run(rows, act, 4 + i)
     jax.device_get(rows)
     dt = time.perf_counter() - t0
+    _busy_record("quad2d", t1, dt, iters)
     return iters * S * B / dt
 
 
@@ -290,11 +335,23 @@ def bench_policy_in_loop():
     rows, traj = fp.run(rows, w, seed=2)
     jax.device_get(rows)
     t0 = time.perf_counter()
+    rows, traj = fp.run(rows, w, seed=3)
+    jax.device_get(rows)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
     for i in range(iters):
-        rows, traj = fp.run(rows, w, seed=3 + i)
+        rows, traj = fp.run(rows, w, seed=4 + i)
     jax.device_get(rows)
     dt = time.perf_counter() - t0
-    return iters * T * B / dt
+    _busy_record("policy_in_loop", t1, dt, iters)
+    sps = iters * T * B / dt
+    # MFU-style utilization of the in-kernel dual actor+critic MLP: analytic
+    # matmul FLOPs per env-step (2*(obs*2H + 2H*2H + 2H*8), H=64) * steps/s
+    # over the chip's bf16 MXU peak (the kernel computes f32 — conservative).
+    H2, od = 2 * 64, fp.obs_dim
+    flops_step = 2 * (od * H2 + H2 * H2 + H2 * 8)
+    _BUSY["policy_in_loop"]["mlp_flops_per_sec"] = round(sps * flops_step, 1)
+    return sps
 
 
 def bench_rl_train():
@@ -327,11 +384,22 @@ def bench_rl_train():
     state, _ = run(state)
     jax.device_get(state.total_steps)
     t0 = time.perf_counter()
+    state, metrics = run(state)
+    jax.device_get(metrics["policy_loss"])
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = run(state)
     jax.device_get(metrics["policy_loss"])
     dt = time.perf_counter() - t0
-    return iters * chunk * batch * steps / dt
+    _busy_record("rl_train", t1, dt, iters)
+    sps = iters * chunk * batch * steps / dt
+    # Train-step MLP FLOPs per env-step: collection forward (1x) + epochs
+    # passes of fwd+bwd (~3x each) over the same per-sample matmul cost.
+    H2, od = 2 * 64, ppo._fp.obs_dim
+    fwd = 2 * (od * H2 + H2 * H2 + H2 * 8)
+    _BUSY["rl_train"]["mlp_flops_per_sec"] = round(sps * fwd * (1 + 3 * 10), 1)
+    return sps
 
 
 def load_prev_bench():
@@ -433,10 +501,15 @@ def main():
     # overstates throughput; materializing the result cannot.
     iters = 8
     t0 = time.perf_counter()
+    carry = run(carry)
+    jax.device_get(carry.obs)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
     for _ in range(iters):
         carry = run(carry)
     jax.device_get(carry.obs)
     dt = time.perf_counter() - t0
+    _busy_record("general", t1, dt, iters)
     general = iters * STEPS_PER_CALL * B / dt
 
     def _safe(fn):
@@ -488,6 +561,17 @@ def main():
         # config family is measured on a single-dispatch engine.
         "quad2d_value": round(quad2d, 1) if quad2d is not None else None,
     }
+    # Device utilization per engine (VERDICT r3 item 8): busy fraction from
+    # the two-point wall fit, plus MFU vs the bf16 MXU peak for the
+    # MLP-matmul engines (analytic FLOP counts; kernels compute f32).
+    peak = _PEAK_FLOPS.get(str(jax.devices()[0].device_kind))
+    for name, d in _BUSY.items():
+        fl = d.get("mlp_flops_per_sec")
+        if fl is not None and peak:
+            d["mfu_vs_bf16_peak"] = round(fl / peak, 6)
+    record["device_utilization"] = _BUSY
+    if peak:
+        record["peak_flops_bf16_assumed"] = peak
     prev, prev_name = load_prev_bench()
     deltas, flagged = regression_deltas(record, prev)
     if deltas is not None:
