@@ -84,6 +84,10 @@ def _enable_jit_cache():
         pass
 
 
+# Compiled-wrapper reuse across run() calls (see the memo note in run()).
+_WRAPPER_MEMO: dict = {}
+
+
 def run(
     level_config: dict,
     num_episodes: int = 1,
@@ -108,18 +112,33 @@ def run(
     _enable_jit_cache()
     episodes = []
     if use_firmware:
-        env_func = lambda: make_quadrotor(
-            _env_config_from_level(level_config, firmware_freq, firmware_freq)
-        )
         # kd_omega_rp=0 is the competition stack's sim2real trim: the stock
         # attitude-rate-derivative gain (200) is tuned for a real MEMS gyro
         # and destabilizes against the SITL's finite-difference+LPF gyro
         # (a 2 m/s hover kick GAINS energy with 200, damps with 0 — see
         # controllers/mellinger.py).  Pass kd_omega_rp=None for the stock
         # firmware behavior.
-        wrapper = FirmwareWrapper(env_func, firmware_freq, ctrl_freq,
-                                  verbose=verbose, fused=fused,
-                                  kd_omega_rp=kd_omega_rp)
+        #
+        # The wrapper (and its compiled fused tick program) is memoized per
+        # config: each FirmwareWrapper owns a fresh jit closure, so a fresh
+        # wrapper per run() call would recompile the fused block (~30 s CPU /
+        # ~80 s TPU-tunnel) even for an identical course — the dominant cost
+        # of multi-seed sweeps.  reset(seed) reinitializes ALL wrapper and
+        # env state, and the env build never reads level_config['seed'] (the
+        # reset PRNG key is passed per episode), so reuse across seeds is
+        # exact.
+        key = (tuple(sorted(
+            (k, repr(v)) for k, v in level_config.items() if k != "seed"
+        )), firmware_freq, ctrl_freq, bool(fused), repr(kd_omega_rp))
+        wrapper = _WRAPPER_MEMO.get(key)
+        if wrapper is None:
+            env_func = lambda: make_quadrotor(
+                _env_config_from_level(level_config, firmware_freq, firmware_freq)
+            )
+            wrapper = FirmwareWrapper(env_func, firmware_freq, ctrl_freq,
+                                      verbose=verbose, fused=fused,
+                                      kd_omega_rp=kd_omega_rp)
+            _WRAPPER_MEMO[key] = wrapper
         env = wrapper.env
     else:
         env = make_quadrotor(_env_config_from_level(level_config, ctrl_freq, ctrl_freq))
